@@ -1,0 +1,17 @@
+"""Test configuration: force CPU with a virtual 8-device mesh.
+
+Tests must run hermetically without TPU hardware. Multi-chip sharding tests use
+XLA's host-platform device-count override, mirroring how the driver validates
+`__graft_entry__.dryrun_multichip`.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
