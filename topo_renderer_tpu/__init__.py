@@ -17,6 +17,14 @@ Layer map (mirrors SURVEY.md §1 of the reference):
   parallel            — device-mesh sharding (no reference equivalent; TPU-native)
 """
 
+import jax as _jax
+
+# Rendering geometry (view/projection matrices, ECEF positions ~6.4e6 m with
+# meter-scale features) needs true float32 matmuls. TPU matmuls default to
+# bfloat16 inputs; force full precision globally — throughput-critical kernels
+# opt into lower precision explicitly where it is safe.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from topo_renderer_tpu.geo import (
     GeoCoord,
     GeoLocation,
