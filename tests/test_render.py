@@ -1,0 +1,197 @@
+"""Renderer validation: triangle-exact sampling + ray-march vs rasterizer oracle."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from tests.helpers import make_tile, small_scene
+from tests.raster_oracle import rasterize
+from topo_renderer_tpu.models.camera import Camera, ViewMode, dist_from_depth
+from topo_renderer_tpu.models.scene import build_mosaic
+from topo_renderer_tpu.ops import mathx
+from topo_renderer_tpu.ops.raycast import camera_rays, march, render_perspective
+from topo_renderer_tpu.ops.surface import (
+    INVALID_HEIGHT,
+    raster_from_geo,
+    sample_height,
+    tri_interp,
+)
+
+
+def yaw_towards(cam: Camera, target_dir):
+    """Yaw value that points the camera's horizontal direction at target_dir."""
+    up = np.asarray(cam.up())
+    q = mathx.quat_from_rotation_arc(jnp.array([0.0, -1.0, 0.0]), jnp.asarray(up))
+    x_w = np.asarray(mathx.quat_rotate(q, jnp.array([1.0, 0.0, 0.0])))
+    z_w = np.asarray(mathx.quat_rotate(q, jnp.array([0.0, 0.0, 1.0])))
+    t = np.asarray(target_dir, np.float64)
+    t = t - up * (t @ up)
+    t /= np.linalg.norm(t)
+    return float(np.arctan2(t @ z_w, t @ x_w))
+
+
+def east_at(cam: Camera):
+    eye = np.asarray(cam.eye, np.float64)
+    lon = np.arctan2(eye[1], eye[0])
+    return np.array([-np.sin(lon), np.cos(lon), 0.0])
+
+
+def test_sample_height_at_vertices_and_planes():
+    tile = make_tile(n=17, span_deg=0.016)
+    mosaic = build_mosaic([tile])
+    H = np.asarray(mosaic.heights)
+    # Exact at texel coordinates.
+    for gy, gx in [(0, 0), (3, 5), (8, 8), (15, 16)]:
+        got = float(sample_height(mosaic, jnp.float32(gx), jnp.float32(gy)))
+        np.testing.assert_allclose(got, H[gy, gx], rtol=1e-6)
+    # Diagonal behavior: at the cell center the value is the mean of the
+    # diagonal's endpoints.
+    for cy, cx in [(2, 2), (2, 3)]:
+        got = float(sample_height(mosaic, jnp.float32(cx + 0.5), jnp.float32(cy + 0.5)))
+        if (cx + cy) % 2 == 0:
+            want = 0.5 * (H[cy, cx] + H[cy + 1, cx + 1])
+        else:
+            want = 0.5 * (H[cy, cx + 1] + H[cy + 1, cx])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+    # Outside the mosaic -> INVALID
+    assert float(sample_height(mosaic, jnp.float32(-5.0), jnp.float32(2.0))) == INVALID_HEIGHT
+
+
+def test_tri_interp_corners():
+    fx = jnp.float32(0.0)
+    fy = jnp.float32(0.0)
+    for parity in (0, 1):
+        assert float(tri_interp(1.0, 2.0, 3.0, 4.0, fx, fy, parity)) == 1.0
+        assert float(tri_interp(1.0, 2.0, 3.0, 4.0, jnp.float32(1.0), jnp.float32(1.0), parity)) == 4.0
+        assert float(tri_interp(1.0, 2.0, 3.0, 4.0, jnp.float32(1.0), jnp.float32(0.0), parity)) == 2.0
+        assert float(tri_interp(1.0, 2.0, 3.0, 4.0, jnp.float32(0.0), jnp.float32(1.0), parity)) == 3.0
+
+
+def test_march_hits_terrain_below():
+    mosaic, cam, tile = small_scene()
+    # Ray pointing straight down must hit at the camera's terrain height.
+    eye = jnp.asarray(cam.eye)
+    down = -eye / jnp.linalg.norm(eye)
+    hit, t, pos = march(mosaic, eye, down[None, :], n_steps=256, n_refine=24)
+    assert bool(hit[0])
+    # The hit distance equals camera altitude minus the interpolated surface
+    # height directly below (the camera was placed 800 m above the *nearest
+    # texel*, not the interpolated surface).
+    eye_np = np.asarray(eye, np.float64)
+    r_eye = np.linalg.norm(eye_np)
+    lat0 = np.degrees(np.arcsin(eye_np[2] / r_eye))
+    lon0 = np.degrees(np.arctan2(eye_np[1], eye_np[0]))
+    gx0, gy0 = raster_from_geo(mosaic, jnp.float32(lon0), jnp.float32(lat0))
+    h_below = float(sample_height(mosaic, gx0, gy0))
+    np.testing.assert_allclose(float(t[0]), (r_eye - 6_371_000.0) - h_below, atol=2.0)
+    # And the hit point lies on the surface: resample height there.
+    r = np.linalg.norm(np.asarray(pos[0]))
+    lat = np.degrees(np.arcsin(np.asarray(pos[0])[2] / r))
+    lon = np.degrees(np.arctan2(np.asarray(pos[0])[1], np.asarray(pos[0])[0]))
+    gx, gy = raster_from_geo(mosaic, jnp.float32(lon), jnp.float32(lat))
+    h = float(sample_height(mosaic, gx, gy))
+    np.testing.assert_allclose(r - 6_371_000.0, h, atol=1.0)
+
+
+def test_sky_ray_misses():
+    mosaic, cam, _ = small_scene()
+    eye = jnp.asarray(cam.eye)
+    up = eye / jnp.linalg.norm(eye)
+    hit, _, _ = march(mosaic, eye, up[None, :], n_steps=64, n_refine=4)
+    assert not bool(hit[0])
+
+
+def test_render_matches_oracle():
+    """End-to-end: ray-marched render vs the numpy rasterizer oracle."""
+    mosaic, cam, tile = small_scene(n=65, span_deg=0.05, height_above=600.0)
+    cam = dataclasses.replace(
+        cam,
+        yaw=yaw_towards(cam, east_at(cam)),
+        pitch=-0.08,
+        view_mode=ViewMode.NORMALS,  # undithered shading for exact compare
+    )
+    W, H = 192, 108
+
+    out = render_perspective(
+        mosaic,
+        cam,
+        width=W,
+        height=H,
+        n_steps=768,
+        n_refine=26,
+        quantize_rt=False,
+        apply_postprocess=False,
+    )
+    got = np.asarray(out["color"])
+    got_depth = np.asarray(out["depth"])
+
+    vp = np.asarray(cam.build_view_proj_matrix(float(W), float(H)), np.float64)
+    want, want_depth, want_dist = rasterize(
+        np.asarray(mosaic.heights),
+        np.asarray(mosaic.normals),
+        np.asarray(mosaic.cell_tile),
+        np.asarray(mosaic.tile_rot),
+        np.asarray(mosaic.model_point),
+        np.asarray(mosaic.pixel_scale),
+        vp,
+        np.asarray(cam.eye, np.float64),
+        np.asarray(cam.sun_angle.to_vec3(), np.float64),
+        W,
+        H,
+    )
+
+    # Both must actually see terrain (sanity of the scene setup).
+    hit_frac = np.asarray(out["hit"]).mean()
+    assert hit_frac > 0.2, f"scene sanity: only {hit_frac:.1%} terrain pixels"
+
+    err = np.abs(got - want).max(axis=-1)
+    frac_bad = (err > 2.0 / 255.0).mean()
+    # Sub-pixel silhouette differences are expected; interior must match.
+    assert frac_bad < 0.02, f"{frac_bad:.2%} pixels differ by >2/255"
+    # Median error across the image is essentially zero.
+    assert np.median(err) < 1.0 / 1020.0
+
+    # Depth agreement where both hit terrain away from silhouettes.
+    both = (np.asarray(out["hit"])) & (want_depth < 1.0)
+    d_got = np.asarray(dist_from_depth(got_depth))
+    d_want = np.asarray(dist_from_depth(want_depth))
+    rel = np.abs(d_got - d_want) / np.maximum(d_want, 1.0)
+    interior = both & (np.abs(np.gradient(d_want, axis=0)) < 50) & (
+        np.abs(np.gradient(d_want, axis=1)) < 50
+    )
+    assert np.median(rel[both]) < 2e-3
+    assert (rel[interior] < 0.02).mean() > 0.97
+
+
+def test_render_dither_bounded():
+    """Default view mode = NORMALS shading + hash dither; the dither must stay
+    within +-1/255 of the undithered render."""
+    mosaic, cam, _ = small_scene(n=33, span_deg=0.03)
+    cam = dataclasses.replace(cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.1)
+    kw = dict(width=64, height=40, n_steps=256, n_refine=16, quantize_rt=False,
+              apply_postprocess=False)
+    out0 = render_perspective(mosaic, cam, **kw)
+    out1 = render_perspective(
+        mosaic, dataclasses.replace(cam, view_mode=ViewMode.NORMALS), **kw
+    )
+    hit = np.asarray(out0["hit"])
+    diff = np.abs(np.asarray(out0["color"]) - np.asarray(out1["color"]))[hit]
+    assert diff.max() <= 1.0 / 255.0 + 1e-6
+    assert diff.max() > 0.0  # dither is actually applied
+
+
+def test_render_view_mode_position():
+    mosaic, cam, _ = small_scene(n=33, span_deg=0.03)
+    cam = dataclasses.replace(
+        cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.2,
+        view_mode=ViewMode.POSITION,
+    )
+    out = render_perspective(
+        mosaic, cam, width=48, height=32, n_steps=256, n_refine=8,
+        quantize_rt=False, apply_postprocess=False,
+    )
+    hit = np.asarray(out["hit"])
+    color = np.asarray(out["color"])[hit]
+    # Normal visualisation: 0.5*(n+1) with |n| ~ 1 -> values in [0, 1].
+    assert color.min() >= -1e-5 and color.max() <= 1.0 + 1e-5

@@ -1,0 +1,230 @@
+"""Scene model: terrain tiles assembled into a device-resident mosaic.
+
+The reference keeps one GPU heightmap texture + normal texture + uniform
+buffer per tile (`topo-renderer/src/render/render_buffer.rs:23-118`) and
+draws each tile as its own mesh with per-tile seam-stitch compute dispatches
+(`src/render/terrain_renderer.rs:173-347`). The TPU-native design instead
+assembles all loaded tiles into **one mosaic array** on device:
+
+  * adjacent COP-90 tiles share their seam row/column, so stitching becomes a
+    plain dense normal computation (see `ops/normals.py`);
+  * the renderer marches rays against a single array instead of looping tiles;
+  * tile identity survives as a per-cell index used to apply each tile's own
+    normal->world rotation (`src/render/data.rs:120-127`) exactly like the
+    per-tile uniform buffer did.
+
+``TerrainTile`` is the host-side decoded tile (`background_runner.rs:99-168`
+product); ``TerrainMosaic`` is the device pytree every jitted render function
+consumes. Heights of missing/unloaded areas are masked invalid and can never
+produce hits (matching unloaded tiles simply not being drawn,
+`terrain_renderer.rs:361-363`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topo_renderer_tpu.data.coordinate_transform import CoordinateTransform
+from topo_renderer_tpu.geo import GeoLocation
+from topo_renderer_tpu.models.uniforms import normal_to_world_rotation
+from topo_renderer_tpu.ops.normals import compute_normals
+
+
+@dataclasses.dataclass
+class TerrainTile:
+    """One decoded DEM tile on the host (reference: the TerrainReady payload,
+    `background_runner.rs:267-269`)."""
+
+    location: GeoLocation
+    heights: np.ndarray  # f32[H, W], rows north -> south
+    transform: CoordinateTransform
+
+    @property
+    def size(self) -> tuple[int, int]:
+        """(width, height) like the reference's decoder dimensions."""
+        return (self.heights.shape[1], self.heights.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class TerrainMosaic:
+    """Device-resident stitched terrain.
+
+    Affine raster<->model mapping (mirrors `CoordinateTransform`, with
+    raster_point fixed at the mosaic origin):
+        lon = gx * pixel_scale[0] + model_point[0]
+        lat = -gy * pixel_scale[1] + model_point[1]
+    """
+
+    heights: Any  # f32[Hm, Wm]
+    normals: Any  # f32[Hm, Wm, 3] tile-local decoded normals
+    valid: Any  # bool[Hm, Wm]
+    cell_tile: Any  # int32[Hm, Wm]; index into tile tables for the cell whose
+    # NW texel this is; -1 where no tile owns the cell
+    tile_rot: Any  # f32[T, 3, 3] normal->world rotation per tile
+    model_point: Any  # f32[2] (lon, lat) of texel (0, 0)
+    pixel_scale: Any  # f32[2] degrees per texel (positive)
+    hmax: Any  # f32 scalar: max height (for the ray shell bound)
+    bound_center: Any  # f32[3] ECEF center of the mosaic bounding sphere
+    bound_radius: Any  # f32 scalar bounding-sphere radius (meters)
+
+    @property
+    def shape(self):
+        return self.heights.shape
+
+
+jax.tree_util.register_dataclass(
+    TerrainMosaic,
+    data_fields=[
+        "heights",
+        "normals",
+        "valid",
+        "cell_tile",
+        "tile_rot",
+        "model_point",
+        "pixel_scale",
+        "hmax",
+        "bound_center",
+        "bound_radius",
+    ],
+    meta_fields=[],
+)
+
+
+def build_mosaic(
+    tiles: Sequence[TerrainTile],
+    quantize_normals: bool = True,
+    correct_axes: bool = False,
+) -> TerrainMosaic:
+    """Assemble decoded tiles into one stitched mosaic (host -> device).
+
+    Tiles must share a common pixel scale (COP-90 tiles within a latitude
+    band do); their tiepoints must differ by integer texel multiples. Both
+    1201-texel (shared seam row/col, SRTM-style) and 1200-texel (abutting)
+    layouts work: texels land on the common grid, overlapping seam texels are
+    written once.
+    """
+    if not tiles:
+        raise ValueError("build_mosaic needs at least one tile")
+
+    ps_x = tiles[0].transform.pixel_scale[0]
+    ps_y = tiles[0].transform.pixel_scale[1]
+    for t in tiles:
+        if not np.allclose(
+            t.transform.pixel_scale, (ps_x, ps_y), rtol=1e-5
+        ):
+            raise ValueError(
+                "mixed pixel scales in one mosaic are not supported yet; "
+                f"got {t.transform.pixel_scale} vs {(ps_x, ps_y)}"
+            )
+
+    # Texel (0,0) of tile t sits at model coords to_model((0,0)).
+    origins = []
+    for t in tiles:
+        lon0, lat0 = t.transform.to_model((0.0, 0.0))
+        origins.append((lon0, lat0))
+    lon_nw = min(o[0] for o in origins)
+    lat_nw = max(o[1] for o in origins)
+
+    offsets = []
+    for (lon0, lat0), t in zip(origins, tiles):
+        ox = round((lon0 - lon_nw) / ps_x)
+        oy = round((lat_nw - lat0) / ps_y)
+        if abs((lon0 - lon_nw) / ps_x - ox) > 1e-3 or abs((lat_nw - lat0) / ps_y - oy) > 1e-3:
+            raise ValueError("tile grids are not aligned to a common raster")
+        offsets.append((ox, oy))
+
+    h_m = max(oy + t.heights.shape[0] for (ox, oy), t in zip(offsets, tiles))
+    w_m = max(ox + t.heights.shape[1] for (ox, oy), t in zip(offsets, tiles))
+
+    heights = np.zeros((h_m, w_m), np.float32)
+    valid = np.zeros((h_m, w_m), bool)
+    cell_tile = np.full((h_m, w_m), -1, np.int32)
+    rotations = np.zeros((len(tiles), 3, 3), np.float32)
+
+    # Deterministic order: sorted by location (the reference's BTreeMap order)
+    order = sorted(range(len(tiles)), key=lambda i: tiles[i].location)
+    for idx in order:
+        t = tiles[idx]
+        ox, oy = offsets[idx]
+        th, tw = t.heights.shape
+        heights[oy : oy + th, ox : ox + tw] = t.heights
+        valid[oy : oy + th, ox : ox + tw] = True
+        # Cells of this tile: NW texels [oy, oy+th-2] x [ox, ox+tw-2].
+        cell_tile[oy : oy + th - 1, ox : ox + tw - 1] = idx
+        rotations[idx] = np.asarray(
+            normal_to_world_rotation(
+                t.transform.model_point[0], t.transform.model_point[1]
+            )
+        )[:3, :3]
+
+    normals = compute_normals(
+        heights,
+        (ps_x, ps_y),
+        raster_point=(0.0, 0.0),
+        model_point=(lon_nw, lat_nw),
+        valid=valid,
+        quantize=quantize_normals,
+        correct_axes=correct_axes,
+    )
+
+    hmax = float(heights[valid].max()) if valid.any() else 0.0
+
+    # Bounding sphere over the mosaic's geographic extent (used to clip ray
+    # march intervals tightly — the terrain shell alone spans the whole
+    # planet's horizon).
+    lon_se = lon_nw + ps_x * (w_m - 1)
+    lat_se = lat_nw - ps_y * (h_m - 1)
+    corner_geo = [
+        (lon_nw, lat_nw),
+        (lon_se, lat_nw),
+        (lon_nw, lat_se),
+        (lon_se, lat_se),
+    ]
+    corners = []
+    for lon, lat in corner_geo:
+        for hh in (0.0, hmax):
+            lam, phi = np.radians(lon), np.radians(lat)
+            r = 6_371_000.0 + hh
+            corners.append(
+                (
+                    r * np.cos(phi) * np.cos(lam),
+                    r * np.cos(phi) * np.sin(lam),
+                    r * np.sin(phi),
+                )
+            )
+    corners = np.asarray(corners, np.float64)
+    center = corners.mean(axis=0)
+    radius = float(np.linalg.norm(corners - center, axis=1).max()) * 1.001 + 1.0
+
+    return TerrainMosaic(
+        heights=jnp.asarray(heights),
+        normals=jnp.asarray(normals),
+        valid=jnp.asarray(valid),
+        cell_tile=jnp.asarray(cell_tile),
+        tile_rot=jnp.asarray(rotations),
+        model_point=jnp.array([lon_nw, lat_nw], jnp.float32),
+        pixel_scale=jnp.array([abs(ps_x), abs(ps_y)], jnp.float32),
+        hmax=jnp.float32(hmax),
+        bound_center=jnp.asarray(center, jnp.float32),
+        bound_radius=jnp.float32(radius),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Everything a render call needs (reference: `ApplicationData` +
+    `Uniforms`, `src/data/application_data.rs:16-45`)."""
+
+    mosaic: TerrainMosaic
+    camera: Any  # models.camera.Camera
+    pixelize_n: Any = 100.0  # disabled by default (`application_data.rs:31`)
+
+
+jax.tree_util.register_dataclass(
+    Scene, data_fields=["mosaic", "camera", "pixelize_n"], meta_fields=[]
+)
