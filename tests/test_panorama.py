@@ -1,0 +1,143 @@
+"""Panorama column-march renderer tests: analytic horizon + cross-validation
+against the per-pixel ray marcher."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from tests.helpers import make_tile, small_scene
+from topo_renderer_tpu.geo import GeoCoord
+from topo_renderer_tpu.models.camera import Camera
+from topo_renderer_tpu.models.scene import build_mosaic
+from topo_renderer_tpu.ops.geometry import R0
+from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
+from topo_renderer_tpu.ops.raycast import march
+
+
+def flat_scene(height=1000.0, n=129, span_deg=0.5):
+    tile = make_tile(49, 20, n=n, span_deg=span_deg)
+    tile.heights[:] = height
+    mosaic = build_mosaic([tile])
+    lat, lon = 49.25, 20.25
+    cam = Camera().reset(GeoCoord(lat, lon), height + 200.0)
+    return mosaic, cam
+
+
+def test_flat_terrain_horizon():
+    mosaic, cam = flat_scene()
+    spec = PanoramaSpec(
+        width=128, height=256, n_steps=512, elev_min=-0.12, elev_max=0.02,
+        n_refine=8,
+    )
+    out = render_panorama(
+        mosaic, cam.eye, spec, sun_direction=np.asarray(cam.sun_angle.to_vec3()),
+        quantize_rt=False, apply_postprocess=False,
+    )
+    hit = np.asarray(out["hit"])
+    # Geometric dip of the horizon for eye 200 m above terrain of height h:
+    # cos(dip) relation on the sphere of radius R0+h.
+    a = 200.0
+    rr = R0 + 1000.0
+    dip = -np.arccos(rr / (rr + a))
+    rows = np.linspace(0.02, -0.12, 256, endpoint=False) - 0.5 * 0.14 / 256
+    # Rows looking well above the horizon are sky; well below are terrain.
+    above = rows > dip + 0.01
+    below = rows < dip - 0.01
+    assert hit[below].mean() > 0.99
+    assert hit[above].mean() < 0.01
+    # Distance straight down rows: for steep depression angles, the slant
+    # distance approaches a / sin(|angle|).
+    steep = rows < -0.08
+    d = np.asarray(out["distance"])[steep]
+    expect = a / np.sin(np.abs(rows[steep]))
+    rel = np.abs(d - expect[:, None]) / expect[:, None]
+    assert np.median(rel) < 0.05
+
+
+def test_panorama_matches_per_pixel_march():
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=500.0)
+    spec = PanoramaSpec(
+        width=192, height=96, n_steps=768, elev_min=-0.35, elev_max=0.15,
+        s_near=5.0, s_far=40_000.0, n_refine=10,
+    )
+    eye = jnp.asarray(cam.eye)
+    out = render_panorama(
+        mosaic, eye, spec, sun_direction=np.asarray(cam.sun_angle.to_vec3()),
+        quantize_rt=False, apply_postprocess=False,
+    )
+
+    # Build the equivalent per-pixel rays: dir = cos(e) h_az + sin(e) up.
+    eye_np = np.asarray(eye, np.float64)
+    e_norm = np.linalg.norm(eye_np)
+    up = eye_np / e_norm
+    lon0 = np.arctan2(eye_np[1], eye_np[0])
+    lat0 = np.arcsin(up[2])
+    east = np.array([-np.sin(lon0), np.cos(lon0), 0.0])
+    north = np.array(
+        [-np.sin(lat0) * np.cos(lon0), -np.sin(lat0) * np.sin(lon0), np.cos(lat0)]
+    )
+    W, H = spec.width, spec.height
+    phi = spec.azimuth_start + spec.azimuth_span * ((np.arange(W) + 0.5) / W)
+    h_az = north[None, :] * np.cos(phi)[:, None] + east[None, :] * np.sin(phi)[:, None]
+    e_lo, e_hi = spec.elevation_range()
+    e_pix = e_hi - (np.arange(H) + 0.5) / H * (e_hi - e_lo)
+    dirs = (
+        np.cos(e_pix)[:, None, None] * h_az[None, :, :]
+        + np.sin(e_pix)[:, None, None] * up[None, None, :]
+    )
+    hit2, t2, _ = march(
+        mosaic, eye, jnp.asarray(dirs, jnp.float32), n_steps=1024, n_refine=24
+    )
+    hit2 = np.asarray(hit2)
+    t2 = np.asarray(t2)
+
+    hit1 = np.asarray(out["hit"])
+    d1 = np.asarray(out["distance"])
+
+    agree = (hit1 == hit2).mean()
+    assert agree > 0.99, f"hit masks agree only {agree:.1%}"
+
+    both = hit1 & hit2
+    rel = np.abs(d1[both] - t2[both]) / np.maximum(t2[both], 1.0)
+    assert np.median(rel) < 5e-3
+    assert (rel < 0.05).mean() > 0.95
+
+
+def test_panorama_full_circle_wraps():
+    mosaic, cam, _ = small_scene(n=33, span_deg=0.03, height_above=300.0)
+    spec = PanoramaSpec(width=64, height=32, n_steps=256, n_refine=4)
+    out = render_panorama(
+        mosaic, cam.eye, spec, sun_direction=np.asarray(cam.sun_angle.to_vec3()),
+        quantize_rt=False, apply_postprocess=False,
+    )
+    color = np.asarray(out["color"])
+    assert color.shape == (32, 64, 3)
+    assert np.isfinite(color).all()
+    # Scene around the camera: some terrain in view.
+    assert np.asarray(out["hit"]).mean() > 0.05
+
+
+def test_panorama_fog_modes():
+    mosaic, cam, _ = small_scene(n=33, span_deg=0.03, height_above=300.0)
+    spec = PanoramaSpec(width=32, height=16, n_steps=128, n_refine=2)
+    sun = np.asarray(cam.sun_angle.to_vec3())
+    base = render_panorama(
+        mosaic, cam.eye, spec, sun, quantize_rt=False, apply_postprocess=False
+    )
+    foggy = render_panorama(
+        mosaic, cam.eye, spec, sun, quantize_rt=False, apply_postprocess=False,
+        fog="distance", fog_density=1.0 / 500.0,
+    )
+    hit = np.asarray(base["hit"])
+    sky = np.array([0.0, 0.71, 0.885])
+    # Fogged pixels follow the exponential mix exactly.
+    f = 1.0 - np.exp(-np.asarray(base["distance"]) / 500.0)
+    expect = np.asarray(base["color"]) + (sky - np.asarray(base["color"])) * f[..., None]
+    np.testing.assert_allclose(
+        np.asarray(foggy["color"])[hit], expect[hit], atol=1e-5
+    )
+    # Sky pixels stay untouched.
+    np.testing.assert_allclose(
+        np.asarray(foggy["color"])[~hit], np.asarray(base["color"])[~hit], atol=1e-6
+    )
