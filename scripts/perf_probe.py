@@ -1,0 +1,108 @@
+"""TPU performance probe for the panorama renderer (not a test).
+
+Generates synthetic terrain ON DEVICE to avoid host->device transfers over
+the axon tunnel (which are slow and variable); real scenes pay that cost only
+once per tile load.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topo_renderer_tpu.models.scene import TerrainMosaic
+from topo_renderer_tpu.models.uniforms import normal_to_world_rotation
+from topo_renderer_tpu.ops.geometry import R0
+from topo_renderer_tpu.ops.normals import compute_normals
+from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
+
+
+def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
+    rot3 = jnp.asarray(
+        np.asarray(normal_to_world_rotation(lon_nw, lat_nw))[:3, :3], jnp.float32
+    )
+
+    @jax.jit
+    def gen():
+        ys = jnp.arange(n, dtype=jnp.float32)[:, None] / n
+        xs = jnp.arange(n, dtype=jnp.float32)[None, :] / n
+        h = jnp.full((n, n), 1500.0, jnp.float32)
+        for k in range(1, 5):
+            h += (600.0 / k) * jnp.sin(12 * k * xs * jnp.pi + 0.3 * k) * jnp.cos(
+                12 * k * ys * jnp.pi + 1.1 * k
+            )
+        normals = compute_normals(h, (ps, ps), (0, 0), (lon_nw, lat_nw), quantize=True)
+        world = jnp.einsum("ij,hwj->hwi", rot3, normals)
+        enc = jnp.round(jnp.clip(0.5 * (world + 1.0), 0.0, 1.0) * 1023.0).astype(
+            jnp.uint32
+        )
+        packed = enc[..., 0] | (enc[..., 1] << 10) | (enc[..., 2] << 20)
+        return h, packed
+
+    h, packed = gen()
+    rot = rot3[None]
+    lat_c = lat_nw - ps * n / 2
+    lon_c = lon_nw + ps * n / 2
+    lam, phi = np.radians(lon_c), np.radians(lat_c)
+    center = np.array(
+        [R0 * np.cos(phi) * np.cos(lam), R0 * np.cos(phi) * np.sin(lam), R0 * np.sin(phi)],
+        np.float32,
+    )
+    radius = np.float32(n * ps * 111_000.0)
+    return TerrainMosaic(
+        heights=h,
+        normals_packed=packed,
+        valid=jnp.ones((n, n), bool),
+        cell_tile=jnp.zeros((n, n), jnp.int32),
+        tile_rot=rot,
+        model_point=jnp.array([lon_nw, lat_nw], jnp.float32),
+        pixel_scale=jnp.array([ps, ps], jnp.float32),
+        hmax=h.max(),
+        bound_center=jnp.asarray(center),
+        bound_radius=radius,
+    )
+
+
+def eye_at(lat_deg, lon_deg, alt):
+    lam, phi = np.radians(lon_deg), np.radians(lat_deg)
+    r = R0 + alt
+    return jnp.array(
+        [r * np.cos(phi) * np.cos(lam), r * np.cos(phi) * np.sin(lam), r * np.sin(phi)],
+        jnp.float32,
+    )
+
+
+def bench(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    t0 = time.perf_counter()
+    mosaic = synthetic_mosaic_device(n=2401)
+    jax.block_until_ready(mosaic.heights)
+    print(f"mosaic on device: {time.perf_counter() - t0:.1f}s", flush=True)
+    eye = eye_at(50.5, 20.0, 2800.0)
+    sun = jnp.array([0.3, 0.5, 0.8])
+
+    for (w, h, n, nr) in [(1024, 256, 512, 4), (2048, 512, 768, 4), (4096, 1024, 1024, 4)]:
+        spec = PanoramaSpec(width=w, height=h, n_steps=n, n_refine=nr)
+        t0 = time.perf_counter()
+        fn = lambda: render_panorama(mosaic, eye, spec, sun, fog="atmosphere")["color"]
+        best, out = bench(fn)
+        print(
+            f"{w}x{h} N={n}: best {best*1e3:.2f} ms  ({w*h/best/1e6:.0f} Mpix/s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,6 @@ def rasterize(
     heights: np.ndarray,
     normals: np.ndarray,
     cell_tile: np.ndarray,
-    tile_rot: np.ndarray,
     model_point,
     pixel_scale,
     view_proj: np.ndarray,
@@ -31,8 +30,9 @@ def rasterize(
 ):
     """Returns (color_linear [H,W,3] without dither, depth [H,W], dist [H,W]).
 
-    Dither is omitted (compare against view_mode=1 renders); everything else
-    matches the reference pipeline.
+    ``normals`` are per-vertex *world-space* normals (the renderer bakes the
+    per-tile rotation at mosaic build). Dither is omitted (compare against
+    view_mode=1 renders); everything else matches the reference pipeline.
     """
     gh, gw = heights.shape
     lon = model_point[0] + pixel_scale[0] * np.arange(gw)
@@ -75,10 +75,8 @@ def rasterize(
 
     for cy in range(gh - 1):
         for cx in range(gw - 1):
-            t_idx = cell_tile[cy, cx]
-            if t_idx < 0:
+            if cell_tile[cy, cx] < 0:
                 continue
-            rot = tile_rot[t_idx]
             for tri in tri_vertices(cy, cx):
                 vs = np.array([[sx[v], sy[v]] for v in tri])
                 ws = np.array([w_clip[v] for v in tri])
@@ -112,7 +110,7 @@ def rasterize(
                 if not closer.any():
                     continue
                 inv_w = l0 / ws[0] + l1 / ws[1] + l2 / ws[2]
-                n_w = np.stack([rot @ normals[v] for v in tri])  # [3, 3]
+                n_w = np.stack([normals[v] for v in tri])  # [3, 3]
                 p_w = np.stack([pos[v] for v in tri])
                 n_i = (
                     l0[..., None] * n_w[0] / ws[0]

@@ -86,7 +86,7 @@ def test_panorama_matches_per_pixel_march():
         np.cos(e_pix)[:, None, None] * h_az[None, :, :]
         + np.sin(e_pix)[:, None, None] * up[None, None, :]
     )
-    hit2, t2, _ = march(
+    hit2, t2 = march(
         mosaic, eye, jnp.asarray(dirs, jnp.float32), n_steps=1024, n_refine=24
     )
     hit2 = np.asarray(hit2)

@@ -55,7 +55,9 @@ def test_sample_height_at_vertices_and_planes():
             want = 0.5 * (H[cy, cx + 1] + H[cy + 1, cx])
         np.testing.assert_allclose(got, want, rtol=1e-6)
     # Outside the mosaic -> INVALID
-    assert float(sample_height(mosaic, jnp.float32(-5.0), jnp.float32(2.0))) == INVALID_HEIGHT
+    assert float(sample_height(mosaic, jnp.float32(-5.0), jnp.float32(2.0))) == float(
+        np.float32(INVALID_HEIGHT)
+    )
 
 
 def test_tri_interp_corners():
@@ -73,7 +75,8 @@ def test_march_hits_terrain_below():
     # Ray pointing straight down must hit at the camera's terrain height.
     eye = jnp.asarray(cam.eye)
     down = -eye / jnp.linalg.norm(eye)
-    hit, t, pos = march(mosaic, eye, down[None, :], n_steps=256, n_refine=24)
+    hit, t = march(mosaic, eye, down[None, :], n_steps=256, n_refine=24)
+    pos = eye[None, :] + t[:, None] * down[None, :]
     assert bool(hit[0])
     # The hit distance equals camera altitude minus the interpolated surface
     # height directly below (the camera was placed 800 m above the *nearest
@@ -98,7 +101,7 @@ def test_sky_ray_misses():
     mosaic, cam, _ = small_scene()
     eye = jnp.asarray(cam.eye)
     up = eye / jnp.linalg.norm(eye)
-    hit, _, _ = march(mosaic, eye, up[None, :], n_steps=64, n_refine=4)
+    hit, _ = march(mosaic, eye, up[None, :], n_steps=64, n_refine=4)
     assert not bool(hit[0])
 
 
@@ -131,7 +134,6 @@ def test_render_matches_oracle():
         np.asarray(mosaic.heights),
         np.asarray(mosaic.normals),
         np.asarray(mosaic.cell_tile),
-        np.asarray(mosaic.tile_rot),
         np.asarray(mosaic.model_point),
         np.asarray(mosaic.pixel_scale),
         vp,

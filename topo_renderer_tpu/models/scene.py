@@ -35,6 +35,31 @@ from topo_renderer_tpu.models.uniforms import normal_to_world_rotation
 from topo_renderer_tpu.ops.normals import compute_normals
 
 
+def pack_normals(normals_world: np.ndarray) -> np.ndarray:
+    """Pack world-space normals into 10-bit-per-channel uint32 words.
+
+    The reference stores *tile-local* normals in an Rgba8Unorm texture
+    (`compute_normals_shader.wgsl:47-50`) and rotates them per tile in the
+    vertex shader (`render_shader.wgsl:66-67`). We apply the tile rotation at
+    build time instead and store world-space normals, so shading needs one
+    u32 gather and zero per-pixel rotations. 10 bits/channel keeps the extra
+    quantization (1/512) far below the reference's own 8-bit step (1/128 in
+    decoded units).
+    """
+    enc = np.round(np.clip(0.5 * (normals_world + 1.0), 0.0, 1.0) * 1023.0).astype(
+        np.uint32
+    )
+    return enc[..., 0] | (enc[..., 1] << 10) | (enc[..., 2] << 20)
+
+
+def unpack_normals(packed):
+    """Device-side unpack: uint32 -> three decoded float planes (SoA)."""
+    nx = 2.0 * ((packed & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
+    ny = 2.0 * (((packed >> 10) & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
+    nz = 2.0 * (((packed >> 20) & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
+    return nx, ny, nz
+
+
 @dataclasses.dataclass
 class TerrainTile:
     """One decoded DEM tile on the host (reference: the TerrainReady payload,
@@ -50,6 +75,13 @@ class TerrainTile:
         return (self.heights.shape[1], self.heights.shape[0])
 
 
+# Texels outside any loaded tile carry this height. It is negative enough
+# that any triangle with a poisoned corner can never be hit by a ray (the
+# reference simply doesn't draw unloaded tiles, `terrain_renderer.rs:361-363`)
+# while staying well inside float32 range.
+POISON_HEIGHT = -1.0e12
+
+
 @dataclasses.dataclass(frozen=True)
 class TerrainMosaic:
     """Device-resident stitched terrain.
@@ -58,11 +90,20 @@ class TerrainMosaic:
     raster_point fixed at the mosaic origin):
         lon = gx * pixel_scale[0] + model_point[0]
         lat = -gy * pixel_scale[1] + model_point[1]
+
+    Layout choices are TPU-driven:
+      * ``heights`` is the only array the inner march loop gathers from;
+        validity is encoded by poisoning unloaded texels (POISON_HEIGHT)
+        instead of a second mask array.
+      * ``normals_packed`` stores each texel's quantized normal as one
+        uint32 in rgba8 layout — exactly the reference's Rgba8Unorm normal
+        texture (`compute_normals_shader.wgsl:47-50`) — so per-pixel shading
+        costs one gather + cheap bit unpacking instead of three f32 gathers.
     """
 
-    heights: Any  # f32[Hm, Wm]
-    normals: Any  # f32[Hm, Wm, 3] tile-local decoded normals
-    valid: Any  # bool[Hm, Wm]
+    heights: Any  # f32[Hm, Wm], POISON_HEIGHT outside valid tiles
+    normals_packed: Any  # u32[Hm, Wm]: world-space normal, 10 bits/channel
+    valid: Any  # bool[Hm, Wm] (host convenience; not used in hot loops)
     cell_tile: Any  # int32[Hm, Wm]; index into tile tables for the cell whose
     # NW texel this is; -1 where no tile owns the cell
     tile_rot: Any  # f32[T, 3, 3] normal->world rotation per tile
@@ -76,12 +117,18 @@ class TerrainMosaic:
     def shape(self):
         return self.heights.shape
 
+    @property
+    def normals(self):
+        """Decoded world-space normals ``f32[Hm, Wm, 3]`` (device op)."""
+        nx, ny, nz = unpack_normals(self.normals_packed)
+        return jnp.stack([nx, ny, nz], axis=-1)
+
 
 jax.tree_util.register_dataclass(
     TerrainMosaic,
     data_fields=[
         "heights",
-        "normals",
+        "normals_packed",
         "valid",
         "cell_tile",
         "tile_rot",
@@ -162,17 +209,38 @@ def build_mosaic(
             )
         )[:3, :3]
 
-    normals = compute_normals(
-        heights,
-        (ps_x, ps_y),
-        raster_point=(0.0, 0.0),
-        model_point=(lon_nw, lat_nw),
-        valid=valid,
-        quantize=quantize_normals,
-        correct_axes=correct_axes,
+    normals_local = np.asarray(
+        compute_normals(
+            heights,
+            (ps_x, ps_y),
+            raster_point=(0.0, 0.0),
+            model_point=(lon_nw, lat_nw),
+            valid=valid,
+            quantize=quantize_normals,
+            correct_axes=correct_axes,
+        )
     )
+    # Rotate to world space per owning tile (texels on a seam take the
+    # owning tile's rotation; adjacent tiles' rotations differ by <=1 degree,
+    # matching the reference's per-triangle behavior to well under 1/255).
+    normals_world = np.empty_like(normals_local)
+    # A texel's rotation comes from the tile owning its cell; the mosaic's
+    # last row/column have no own cell, so they borrow the adjacent cell's
+    # owner (that tile's triangles are the ones referencing these texels).
+    owner = cell_tile[
+        np.minimum(np.arange(h_m), h_m - 2)[:, None],
+        np.minimum(np.arange(w_m), w_m - 2)[None, :],
+    ]
+    owner = np.where(owner < 0, 0, owner)
+    for idx in range(len(tiles)):
+        mask = owner == idx
+        if mask.any():
+            normals_world[mask] = normals_local[mask] @ rotations[idx].T
+    normals_packed = pack_normals(normals_world)
 
     hmax = float(heights[valid].max()) if valid.any() else 0.0
+    heights = heights.copy()
+    heights[~valid] = POISON_HEIGHT
 
     # Bounding sphere over the mosaic's geographic extent (used to clip ray
     # march intervals tightly — the terrain shell alone spans the whole
@@ -203,7 +271,7 @@ def build_mosaic(
 
     return TerrainMosaic(
         heights=jnp.asarray(heights),
-        normals=jnp.asarray(normals),
+        normals_packed=jnp.asarray(normals_packed),
         valid=jnp.asarray(valid),
         cell_tile=jnp.asarray(cell_tile),
         tile_rot=jnp.asarray(rotations),

@@ -7,19 +7,27 @@ up vector is radial). Within such a great-circle plane, terrain visibility is
 monotone in elevation angle, so one column needs only:
 
   1. a 1-D profile of terrain elevation angles sampled along the ground trace
-     (``[W, N]`` height gathers — the only random memory access), computed
+     (``[N, W]`` height gathers — the only random memory access), computed
      with cancellation-free geometry,
-  2. a running maximum over the profile (`lax.cummax` — the classic
-     "y-buffer" of terrain renderers, expressed as a scan),
-  3. a per-pixel binary search of the monotone running max (`searchsorted`)
-     to find the first profile sample that occludes each pixel's angle,
+  2. a running maximum over the profile (`lax.cummax` along the sublane
+     axis — the classic "y-buffer" of terrain renderers, as a scan),
+  3. a per-pixel binary search of the monotone running max to find the first
+     profile sample occluding each pixel's angle (log2 N lane-aligned
+     `take_along_axis` steps),
   4. triangle-exact attribute sampling at the refined crossing.
 
 Compared to rasterizing ~8.6M triangles per tile per frame
 (`topo-renderer/src/render/render_buffer.rs:191-219`), the work is
-O(W·N + H·W·log N) dense vector ops — a shape XLA maps well onto the VPU.
-Log-spaced sample distances double as continuous LOD: step length tracks
-distance, so far terrain is sampled at the rate it subtends pixels.
+O(W·N + H·W·log N) dense vector ops. Log-spaced sample distances double as
+continuous LOD: step length tracks distance, so far terrain is sampled at the
+rate it subtends pixels.
+
+TPU layout rules used throughout (see SURVEY §7 / pallas guide):
+  * everything is scalar planes ``[N, W]`` (profile) or ``[H, W]`` (pixels) —
+    W rides the 128-lane axis; no ``[..., 3]`` vector trailing axes;
+  * scans run along the sublane axis;
+  * sample distances are an analytic function of the step index, so crossing
+    refinement needs no extra profile gathers.
 
 The reference has no panorama mode; camera/shading/postprocess semantics are
 shared with the perspective path for drop-in parity of the image content.
@@ -37,11 +45,11 @@ from topo_renderer_tpu.models.camera import FAR, NEAR, depth_from_dist
 from topo_renderer_tpu.ops import shading as shd
 from topo_renderer_tpu.ops.geometry import R0
 from topo_renderer_tpu.ops.postprocess import (
-    atmospheric_shading,
-    distance_fog,
-    postprocess,
+    atmospheric_shading_soa,
+    distance_fog_soa,
+    postprocess_soa,
 )
-from topo_renderer_tpu.ops.surface import raster_from_geo, sample_attributes, sample_height
+from topo_renderer_tpu.ops.surface import raster_from_geo, sample_attributes_soa, sample_height
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,7 +65,7 @@ class PanoramaSpec:
     n_steps: int = 1024
     s_near: float = 5.0  # meters along the ground
     s_far: float = FAR
-    n_refine: int = 6
+    n_refine: int = 4
 
     def elevation_range(self) -> tuple[float, float]:
         if self.elev_min is not None and self.elev_max is not None:
@@ -66,40 +74,51 @@ class PanoramaSpec:
         return (-half, half)
 
 
-def _profile_angles(mosaic, up, h_az, a0, sigma):
-    """Elevation angle + in-plane coordinates of terrain samples.
+def _eye_frame(eye):
+    """(a0, up-, east-, north- component scalars) for the eye position."""
+    e_norm = jnp.linalg.norm(eye)
+    a0 = e_norm - R0
+    ux, uy, uz = eye[0] / e_norm, eye[1] / e_norm, eye[2] / e_norm
+    lon0 = jnp.arctan2(eye[1], eye[0])
+    lat0 = jnp.arcsin(jnp.clip(eye[2] / e_norm, -1.0, 1.0))
+    ex, ey = -jnp.sin(lon0), jnp.cos(lon0)
+    nx = -jnp.sin(lat0) * jnp.cos(lon0)
+    ny = -jnp.sin(lat0) * jnp.sin(lon0)
+    nz = jnp.cos(lat0)
+    return a0, (ux, uy, uz), (ex, ey), (nx, ny, nz)
 
-    ``up`` [3], ``h_az`` [W, 3] horizontal azimuth direction, ``sigma`` [N]
-    angular ground distances. Returns (e [W, N], x [W, N], y [W, N], h [W, N]).
 
-    Cancellation-free forms (f32-safe at ECEF magnitudes):
-      y = h cos(sigma) - a0 - 2 R0 sin^2(sigma/2)   (height above horizontal)
-      x = (R0 + h) sin(sigma)                        (horizontal reach)
+def _surface_elevation(mosaic, a0, up, h_col, sig):
+    """Elevation angle of the terrain surface along columns at angular ground
+    distance ``sig`` (broadcastable against the column planes in ``h_col``).
+
+    Cancellation-free at ECEF scale:
+      y = h cos(sig) - a0 - 2 R0 sin^2(sig/2),   x = (R0 + h) sin(sig).
     """
-    cs = jnp.cos(sigma)[None, :]
-    sn = jnp.sin(sigma)[None, :]
-    shalf2 = jnp.sin(0.5 * sigma)[None, :] ** 2
-
-    s_dir = up[None, None, :] * cs[..., None] + h_az[:, None, :] * sn[..., None]
-    lat = jnp.degrees(jnp.arcsin(jnp.clip(s_dir[..., 2], -1.0, 1.0)))
-    lon = jnp.degrees(jnp.arctan2(s_dir[..., 1], s_dir[..., 0]))
+    ux, uy, uz = up
+    hx, hy, hz = h_col
+    cs = jnp.cos(sig)
+    sn = jnp.sin(sig)
+    sdx = ux * cs + hx * sn
+    sdy = uy * cs + hy * sn
+    sdz = uz * cs + hz * sn
+    lat = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
+    lon = jnp.degrees(jnp.arctan2(sdy, sdx))
     gx, gy = raster_from_geo(mosaic, lon, lat)
-    h = sample_height(mosaic, gx, gy)  # [W, N]; INVALID -> giant negative
-
-    y = h * cs - a0 - 2.0 * R0 * shalf2
+    h = sample_height(mosaic, gx, gy)
+    y = h * cs - a0 - 2.0 * R0 * jnp.sin(0.5 * sig) ** 2
     x = (R0 + h) * sn
-    e = jnp.arctan2(y, x)
-    return e, x, y, h
+    return jnp.arctan2(y, x), (sdx, sdy, sdz), h, (x, y)
 
 
-@partial(jax.jit, static_argnames=("spec", "quantize_rt", "apply_postprocess", "fog"))
+@partial(jax.jit, static_argnames=("spec", "quantize_rt", "apply_postprocess", "fog", "pixelize_n"))
 def render_panorama(
     mosaic,
     eye,
     spec: PanoramaSpec,
     sun_direction,
     view_mode=0,
-    pixelize_n=100.0,
+    pixelize_n=None,
     quantize_rt: bool = True,
     apply_postprocess: bool = True,
     fog: str | None = None,
@@ -114,121 +133,124 @@ def render_panorama(
     eye = jnp.asarray(eye, jnp.float32)
     W, H, N = spec.width, spec.height, spec.n_steps
 
-    e_norm = jnp.linalg.norm(eye)
-    up = eye / e_norm
-    a0 = e_norm - R0
-    lon0 = jnp.arctan2(eye[1], eye[0])
-    lat0 = jnp.arcsin(jnp.clip(eye[2] / e_norm, -1.0, 1.0))
-    east = jnp.stack([-jnp.sin(lon0), jnp.cos(lon0), jnp.zeros_like(lon0)])
-    north = jnp.stack(
-        [-jnp.sin(lat0) * jnp.cos(lon0), -jnp.sin(lat0) * jnp.sin(lon0), jnp.cos(lat0)]
-    )
+    a0, up, (ex, ey), (nx0, ny0, nz0) = _eye_frame(eye)
 
     phi = spec.azimuth_start + spec.azimuth_span * (
         (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     )
-    h_az = north[None, :] * jnp.cos(phi)[:, None] + east[None, :] * jnp.sin(phi)[:, None]
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    h_col = (nx0 * cphi + ex * sphi, ny0 * cphi + ey * sphi, nz0 * cphi)  # [W]
 
-    # Log-spaced ground distances -> angular distances.
-    k = jnp.arange(N, dtype=jnp.float32)
-    s = spec.s_near * (spec.s_far / spec.s_near) ** (k / (N - 1))
-    sigma = s / R0
+    # Log-spaced ground distances; sigma is an analytic function of step
+    # index so refinement never needs to gather the schedule.
+    log_near = jnp.float32(jnp.log(spec.s_near))
+    log_ratio = jnp.float32(jnp.log(spec.s_far / spec.s_near))
 
-    e_prof, _, _, _ = _profile_angles(mosaic, up, h_az, a0, sigma)
-    m_prof = jax.lax.cummax(e_prof, axis=1)  # [W, N] non-decreasing
+    def sigma_of(kf):
+        return jnp.exp(log_near + log_ratio * (kf / (N - 1))) / R0
+
+    k = jnp.arange(N, dtype=jnp.float32)[:, None]  # [N, 1]
+    sigma = sigma_of(k)  # [N, 1] broadcasts over W
+
+    h_col_b = tuple(c[None, :] for c in h_col)
+    e_prof, _, _, _ = _surface_elevation(mosaic, a0, up, h_col_b, sigma)  # [N, W]
+    m_prof = jax.lax.cummax(e_prof, axis=0)
 
     # Pixel elevation angles, row 0 at the top.
     e_lo, e_hi = spec.elevation_range()
     rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-    e_pix = jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo)  # [H]
+    e_pix = (jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo))[:, None]  # [H, 1]
 
-    # First profile index whose running max exceeds the pixel angle.
-    kstar = jax.vmap(lambda m: jnp.searchsorted(m, e_pix, side="right"))(m_prof)
-    kstar = kstar.T  # [H, W]
+    # Binary search: first k with m_prof[k] > e_pix (searchsorted 'right').
+    lo = jnp.zeros((H, W), jnp.int32)
+    hi = jnp.full((H, W), N, jnp.int32)
+    for _ in range(int(N).bit_length()):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(m_prof, mid, axis=0)
+        go_right = v <= e_pix
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    kstar = lo  # [H, W]
     hit = kstar < N
 
     k_hi = jnp.clip(kstar, 0, N - 1)
     k_lo = jnp.clip(kstar - 1, 0, N - 1)
-    col = jnp.arange(W)[None, :]
-    theta_hi = e_prof[col, k_hi]
-    m_lo = m_prof[col, k_lo]
-    sig_hi = sigma[k_hi]
-    sig_lo = jnp.where(kstar > 0, sigma[k_lo], sigma[0])
+    theta_hi = jnp.take_along_axis(e_prof, k_hi, axis=0)
+    m_lo = jnp.take_along_axis(m_prof, k_lo, axis=0)
+    sig_hi = sigma_of(k_hi.astype(jnp.float32))
+    sig_lo = jnp.where(kstar > 0, sigma_of(k_lo.astype(jnp.float32)), sigma_of(0.0))
 
     denom = theta_hi - m_lo
-    tfrac = jnp.clip((e_pix[:, None] - m_lo) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom), 0.0, 1.0)
+    tfrac = jnp.clip(
+        (e_pix - m_lo) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom), 0.0, 1.0
+    )
     tfrac = jnp.where(kstar > 0, tfrac, 0.0)
     sig_star = sig_lo + tfrac * (sig_hi - sig_lo)
 
-    # Optional bisection refinement against the true surface between samples.
-    h_cols = h_az  # [W, 3]
-
-    def surf_angle(sig):
-        cs = jnp.cos(sig)
-        sn = jnp.sin(sig)
-        sd = up[None, None, :] * cs[..., None] + h_cols[None, :, :] * sn[..., None]
-        lat = jnp.degrees(jnp.arcsin(jnp.clip(sd[..., 2], -1.0, 1.0)))
-        lon = jnp.degrees(jnp.arctan2(sd[..., 1], sd[..., 0]))
-        gx, gy = raster_from_geo(mosaic, lon, lat)
-        h = sample_height(mosaic, gx, gy)
-        y = h * cs - a0 - 2.0 * R0 * jnp.sin(0.5 * sig) ** 2
-        x = (R0 + h) * sn
-        return jnp.arctan2(y, x)
-
-    def refine(_, state):
-        lo, hi = state
-        mid = 0.5 * (lo + hi)
-        below = surf_angle(mid) < e_pix[:, None]  # surface still below the ray
-        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
-
+    # Optional bisection against the true surface between bracketing samples.
     if spec.n_refine > 0:
-        lo0 = sig_lo
-        hi0 = sig_hi
-        lo, hi = jax.lax.fori_loop(0, spec.n_refine, refine, (lo0, hi0))
-        sig_star = jnp.where(kstar > 0, hi, sig_star)
+        h_col_p = tuple(c[None, :] for c in h_col)  # [1, W] vs [H, W] planes
 
-    # Attributes at the crossing.
+        def refine(_, state):
+            slo, shi = state
+            mid = 0.5 * (slo + shi)
+            e_mid, _, _, _ = _surface_elevation(mosaic, a0, up, h_col_p, mid)
+            below = e_mid < e_pix
+            return jnp.where(below, mid, slo), jnp.where(below, shi, mid)
+
+        slo, shi = jax.lax.fori_loop(0, spec.n_refine, refine, (sig_lo, sig_hi))
+        sig_star = jnp.where(kstar > 0, shi, sig_star)
+
+    # Attributes at the crossing (per-pixel planes).
+    h_col_p = tuple(c[None, :] for c in h_col)
     cs = jnp.cos(sig_star)
     sn = jnp.sin(sig_star)
-    sd = up[None, None, :] * cs[..., None] + h_cols[None, :, :] * sn[..., None]
-    lat = jnp.degrees(jnp.arcsin(jnp.clip(sd[..., 2], -1.0, 1.0)))
-    lon = jnp.degrees(jnp.arctan2(sd[..., 1], sd[..., 0]))
+    ux, uy, uz = up
+    hx, hy, hz = h_col_p
+    sdx = ux * cs + hx * sn
+    sdy = uy * cs + hy * sn
+    sdz = uz * cs + hz * sn
+    lat = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
+    lon = jnp.degrees(jnp.arctan2(sdy, sdx))
     gx, gy = raster_from_geo(mosaic, lon, lat)
-    h_star, n_world, _ = sample_attributes(mosaic, gx, gy)
+    h_star, n_x, n_y, n_z, _ = sample_attributes_soa(mosaic, gx, gy)
     h_star = jnp.maximum(h_star, -1e4)  # keep sky distances sane
 
     y_ip = h_star * cs - a0 - 2.0 * R0 * jnp.sin(0.5 * sig_star) ** 2
     x_ip = (R0 + h_star) * sn
     dist = jnp.sqrt(x_ip * x_ip + y_ip * y_ip)
-    pos = (R0 + h_star)[..., None] * sd
 
     depth = jnp.where(hit, depth_from_dist(jnp.clip(dist, NEAR, FAR)), 1.0)
 
-    px = jnp.arange(W, dtype=jnp.float32) + 0.5
-    py = jnp.arange(H, dtype=jnp.float32) + 0.5
-    seed = jnp.stack(
-        [
-            px[None, :] + eye[0] - pos[..., 0],
-            py[:, None] + eye[1] - pos[..., 1],
-        ],
-        axis=-1,
-    )
-    color = shd.shade(n_world, jnp.asarray(sun_direction, jnp.float32), view_mode, seed)
-    sky = jnp.asarray(shd.SKY_COLOR, jnp.float32)
-    color = jnp.where(hit[..., None], color, sky)
+    # Dither seed: pixel center + eye.xy - world position.xy
+    # (`render_shader.wgsl:103`), all in f32 like the reference.
+    pos_x = (R0 + h_star) * sdx
+    pos_y = (R0 + h_star) * sdy
+    px = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
+    seed_x = px + eye[0] - pos_x
+    seed_y = py + eye[1] - pos_y
+
+    sun = jnp.asarray(sun_direction, jnp.float32)
+    r, g, b = shd.shade_soa(n_x, n_y, n_z, sun, view_mode, seed_x, seed_y)
+    sky = shd.SKY_COLOR
+    r = jnp.where(hit, r, sky[0])
+    g = jnp.where(hit, g, sky[1])
+    b = jnp.where(hit, b, sky[2])
+    channels = (r, g, b)
 
     if fog == "distance":
-        color = distance_fog(color, dist, sky, density=fog_density, sky_mask=~hit)
+        channels = distance_fog_soa(channels, dist, sky, density=fog_density, sky_mask=~hit)
     elif fog == "atmosphere":
-        color = atmospheric_shading(color, dist, sky, sky_mask=~hit)
+        channels = atmospheric_shading_soa(channels, dist, sky, sky_mask=~hit)
 
     if quantize_rt:
-        color = shd.quantize_srgb8(color)
+        channels = tuple(shd.quantize_srgb8(c) for c in channels)
     if apply_postprocess:
-        color = postprocess(color, depth, pixelize_n=pixelize_n)
+        channels = postprocess_soa(channels, depth, pixelize_n=pixelize_n)
 
     return {
-        "color": color,
+        "color": jnp.stack(channels, axis=-1),
         "depth": depth,
         "distance": jnp.where(hit, dist, FAR),
         "hit": hit,

@@ -11,13 +11,15 @@ the second render pass, `topo-renderer/src/render/terrain_renderer.rs:423-450`):
     (`postprocessing_shader.wgsl:92-95`).
   * pixelization when ``pixelize_n < 99.99999``: uv = floor(uv*n)/n, bilinear
     color fetch (`postprocessing_shader.wgsl:70-73`). Depth is always sampled
-    at the original pixel.
+    at the original pixel. When ``pixelize_n`` is a static Python number that
+    disables the effect, the bilinear fetch is not even compiled.
 
 ``distance_fog`` / ``atmospheric_shading`` have no reference equivalent —
 they implement the driver baseline's config 2/4 requirements (BASELINE.md) as
 fused elementwise ops on the linear color + ray distance.
 
-Everything is a dense jnp image op (fused by XLA) batched over leading axes.
+Internally everything runs on single-channel [H, W] planes so the VPU's 128
+lanes stay filled (a trailing channel axis of 3 would waste 125 of them).
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from topo_renderer_tpu.models.camera import dist_from_depth
-from topo_renderer_tpu.ops.sampling import bilinear_sample_hwc
+from topo_renderer_tpu.ops.sampling import bilinear_sample_hw
 
 
 def smoothstep(e0, e1, x):
@@ -33,36 +35,8 @@ def smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def postprocess(color, depth, pixelize_n=100.0):
-    """Apply the contour/pixelize postprocessing pass.
-
-    Args:
-      color: ``f32[..., H, W, 3]`` linear color from the terrain pass (sky
-        already cleared to SKY_COLOR, and — for strict parity — already
-        passed through ``shading.quantize_srgb8``).
-      depth: ``f32[..., H, W]`` 0..1 depth, 1.0 where sky.
-      pixelize_n: scalar; >= ~100 disables pixelization.
-
-    Returns ``f32[..., H, W, 3]`` linear color.
-    """
-    color = jnp.asarray(color, jnp.float32)
-    depth = jnp.asarray(depth, jnp.float32)
-    h, w = depth.shape[-2], depth.shape[-1]
-
-    pixelize_n = jnp.float32(pixelize_n)
-
-    # --- color fetch (pixelized or passthrough) --------------------------
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    u = jnp.broadcast_to(xs[None, :], (h, w))
-    v = jnp.broadcast_to(ys[:, None], (h, w))
-    up = jnp.floor(u * pixelize_n) / pixelize_n
-    vp = jnp.floor(v * pixelize_n) / pixelize_n
-    pix_color = bilinear_sample_hwc(color, up * w - 0.5, vp * h - 0.5)
-    use_pix = pixelize_n < jnp.float32(99.99999)
-    render_color = jnp.where(use_pix, pix_color, color)
-
-    # --- contour: 3x3 Laplacian of linearized depth ----------------------
+def _contour_mix(depth):
+    """smoothstep(0.05, 0.15, contour/center) factor, [..., H, W]."""
     lin = dist_from_depth(depth)
     pad = [(0, 0)] * (lin.ndim - 2) + [(1, 1), (1, 1)]
     lp = jnp.pad(lin, pad, mode="edge")
@@ -77,24 +51,85 @@ def postprocess(color, depth, pixelize_n=100.0):
         + lp[..., 2:, 2:]
     )
     contour = 8.0 * lin - neighbor_sum
+    return smoothstep(0.05, 0.15, contour / lin)
 
-    mixf = smoothstep(0.05, 0.15, contour / lin)
-    return render_color * (1.0 - mixf[..., None])  # mix toward black
+
+def postprocess_soa(channels, depth, pixelize_n=None):
+    """Postprocess on a tuple of channel planes; returns a same-length tuple."""
+    depth = jnp.asarray(depth, jnp.float32)
+    h, w = depth.shape[-2], depth.shape[-1]
+
+    static_off = pixelize_n is None or (
+        isinstance(pixelize_n, (int, float)) and pixelize_n >= 99.99999
+    )
+    if not static_off:
+        n = jnp.float32(pixelize_n)
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        u = jnp.broadcast_to(xs[None, :], (h, w))
+        v = jnp.broadcast_to(ys[:, None], (h, w))
+        up = jnp.floor(u * n) / n
+        vp = jnp.floor(v * n) / n
+        use_pix = n < jnp.float32(99.99999)
+        sx = up * w - 0.5
+        sy = vp * h - 0.5
+        channels = tuple(
+            jnp.where(use_pix, bilinear_sample_hw(c, sx, sy), c) for c in channels
+        )
+
+    mixf = _contour_mix(depth)
+    return tuple(c * (1.0 - mixf) for c in channels)
+
+
+def postprocess(color, depth, pixelize_n=None):
+    """Channels-last convenience wrapper: ``color[..., H, W, 3]``."""
+    color = jnp.asarray(color, jnp.float32)
+    chans = tuple(color[..., c] for c in range(color.shape[-1]))
+    out = postprocess_soa(chans, depth, pixelize_n)
+    return jnp.stack(out, axis=-1)
+
+
+def distance_fog_soa(channels, distance, fog_color, density=1.0 / 80_000.0, sky_mask=None):
+    d = jnp.asarray(distance, jnp.float32)
+    f = 1.0 - jnp.exp(-d * density)
+    fog = jnp.asarray(fog_color, jnp.float32)
+    out = []
+    for c, fc in zip(channels, fog):
+        mixed = c + (fc - c) * f
+        if sky_mask is not None:
+            mixed = jnp.where(sky_mask, c, mixed)
+        out.append(mixed)
+    return tuple(out)
 
 
 def distance_fog(color, distance, fog_color, density=1.0 / 80_000.0, sky_mask=None):
-    """Exponential distance fog (TPU-native extension, BASELINE config 2).
-
-    ``f = 1 - exp(-(d * density))``; sky pixels (distance == FAR / mask) keep
-    the sky color untouched when ``sky_mask`` is given.
-    """
+    """Exponential distance fog (TPU-native extension, BASELINE config 2)."""
     color = jnp.asarray(color, jnp.float32)
+    chans = tuple(color[..., c] for c in range(3))
+    out = distance_fog_soa(chans, distance, fog_color, density, sky_mask)
+    return jnp.stack(out, axis=-1)
+
+
+def atmospheric_shading_soa(
+    channels,
+    distance,
+    sky_color,
+    rayleigh_density=1.0 / 60_000.0,
+    mie_density=1.0 / 220_000.0,
+    sky_mask=None,
+):
     d = jnp.asarray(distance, jnp.float32)
-    f = 1.0 - jnp.exp(-d * density)
-    fogged = color + (jnp.asarray(fog_color, jnp.float32) - color) * f[..., None]
-    if sky_mask is not None:
-        fogged = jnp.where(sky_mask[..., None], color, fogged)
-    return fogged
+    sky = jnp.asarray(sky_color, jnp.float32)
+    wavelength = (1.8, 1.0, 0.65)
+    t_m = jnp.exp(-d * mie_density)
+    out = []
+    for c, sc, wl in zip(channels, sky, wavelength):
+        t_r = jnp.exp(-d * (rayleigh_density / wl))
+        mixed = c * t_r * t_m + sc * (1.0 - t_r)
+        if sky_mask is not None:
+            mixed = jnp.where(sky_mask, c, mixed)
+        out.append(mixed)
+    return tuple(out)
 
 
 def atmospheric_shading(
@@ -105,18 +140,11 @@ def atmospheric_shading(
     mie_density=1.0 / 220_000.0,
     sky_mask=None,
 ):
-    """Simple two-term aerial perspective (TPU-native extension, BASELINE
-    config 4): wavelength-dependent extinction toward the sky color plus a
-    neutral haze term. Fused elementwise; negligible cost next to the march.
-    """
+    """Two-term aerial perspective (TPU-native extension, BASELINE config 4):
+    wavelength-dependent extinction toward the sky color plus neutral haze."""
     color = jnp.asarray(color, jnp.float32)
-    d = jnp.asarray(distance, jnp.float32)[..., None]
-    sky = jnp.asarray(sky_color, jnp.float32)
-    # Rayleigh-ish: blue scatters in more strongly.
-    wavelength = jnp.array([1.8, 1.0, 0.65], jnp.float32)
-    t_r = jnp.exp(-d * rayleigh_density / wavelength)
-    t_m = jnp.exp(-d * mie_density)
-    out = color * t_r * t_m + sky * (1.0 - t_r)
-    if sky_mask is not None:
-        out = jnp.where(jnp.asarray(sky_mask)[..., None], color, out)
-    return out
+    chans = tuple(color[..., c] for c in range(3))
+    out = atmospheric_shading_soa(
+        chans, distance, sky_color, rayleigh_density, mie_density, sky_mask
+    )
+    return jnp.stack(out, axis=-1)

@@ -13,13 +13,15 @@ the attribute interpolation, the depth convention and the dither are all
 identical); only silhouette sub-sampling differs, bounded by the march step.
 
 Design notes for TPU:
-  * all state is dense ``[H, W]`` float32 arrays; the march is a
-    `lax.fori_loop` of fused VPU ops + 4-texel height gathers;
-  * the ray interval is clipped analytically to the shell
-    ``|x| <= R0 + hmax`` (solving a stabilized quadratic), to the near plane
-    (50 m, `camera.rs:7`) and to the far plane (500 km), so step budget is
-    spent only where terrain can exist;
-  * no data-dependent shapes; `n_steps`/`n_refine` are static.
+  * all state is scalar ``[H, W]`` float32 planes (structure-of-arrays — a
+    trailing ``[..., 3]`` axis would waste 125 of the VPU's 128 lanes);
+  * the march is a `lax.fori_loop` of fused VPU ops + 4-texel height gathers
+    from the one poisoned-height table;
+  * the ray interval is clipped analytically to the terrain shell
+    ``|x| <= R0 + hmax`` and the mosaic bounding sphere (stabilized
+    quadratics), plus the near (50 m) / far (500 km) planes (`camera.rs:7-8`),
+    so the step budget is spent only where terrain can exist;
+  * no data-dependent shapes; ``n_steps``/``n_refine`` are static.
 """
 
 from __future__ import annotations
@@ -30,19 +32,20 @@ import jax
 import jax.numpy as jnp
 
 from topo_renderer_tpu.models.camera import Camera, FAR, NEAR
+from topo_renderer_tpu.ops import mathx
 from topo_renderer_tpu.ops import shading as shd
 from topo_renderer_tpu.ops.geometry import R0
-from topo_renderer_tpu.ops.postprocess import postprocess
+from topo_renderer_tpu.ops.postprocess import postprocess_soa
 from topo_renderer_tpu.ops.surface import (
     raster_from_geo,
-    sample_attributes,
+    sample_attributes_soa,
     sample_height,
 )
-from topo_renderer_tpu.ops import mathx
 
 
 def camera_rays(camera: Camera, width: int, height: int):
-    """World-space unit ray directions for every pixel center.
+    """World-space unit ray direction planes (dx, dy, dz) for pixel centers,
+    plus the forward axis.
 
     Reproduces the wgpu viewport mapping: ndc_x = 2(px+0.5)/W - 1,
     ndc_y = 1 - 2(py+0.5)/H, camera axes from `look_to_rh` (s, u, -f).
@@ -54,16 +57,13 @@ def camera_rays(camera: Camera, width: int, height: int):
     tan_v = jnp.tan(0.5 * jnp.float32(camera.fov_y))
     tan_h = tan_v * (jnp.float32(width) / jnp.float32(height))
 
-    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-    ndc_x = 2.0 * px - 1.0
-    ndc_y = 1.0 - 2.0 * py
-    d = (
-        f
-        + ndc_x[None, :, None] * tan_h * s
-        + ndc_y[:, None, None] * tan_v * u
-    )
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True), f
+    ndc_x = (2.0 * (jnp.arange(width, dtype=jnp.float32) + 0.5) / width - 1.0)[None, :]
+    ndc_y = (1.0 - 2.0 * (jnp.arange(height, dtype=jnp.float32) + 0.5) / height)[:, None]
+    dx = f[0] + ndc_x * tan_h * s[0] + ndc_y * tan_v * u[0]
+    dy = f[1] + ndc_x * tan_h * s[1] + ndc_y * tan_v * u[1]
+    dz = f[2] + ndc_x * tan_h * s[2] + ndc_y * tan_v * u[2]
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return (dx * inv, dy * inv, dz * inv), f
 
 
 def _surface_f(mosaic, eye, dirs, c0, b, t):
@@ -73,40 +73,47 @@ def _surface_f(mosaic, eye, dirs, c0, b, t):
     q(t) = |eye + t d|^2 - R0^2 = c0 + 2 t b + t^2  (|d| = 1), which avoids
     the catastrophic cancellation of ``|p| - R0`` at ECEF magnitudes.
     """
-    t_ = t[..., None]
-    pos = eye + t_ * dirs
+    dx, dy, dz = dirs
+    px = eye[0] + t * dx
+    py = eye[1] + t * dy
+    pz = eye[2] + t * dz
     q = c0 + 2.0 * t * b + t * t
     r = jnp.sqrt(jnp.maximum(R0 * R0 + q, 0.0))
     alt = q / (r + R0)
-    lat = jnp.degrees(jnp.arcsin(jnp.clip(pos[..., 2] / r, -1.0, 1.0)))
-    lon = jnp.degrees(jnp.arctan2(pos[..., 1], pos[..., 0]))
+    lat = jnp.degrees(jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0)))
+    lon = jnp.degrees(jnp.arctan2(py, px))
     gx, gy = raster_from_geo(mosaic, lon, lat)
     h = sample_height(mosaic, gx, gy)
-    return alt - h, pos
+    return alt - h
 
 
-def march(mosaic, eye, dirs, *, n_steps: int, n_refine: int, altitude=None):
-    """Find the first ray/surface crossing for a dense ray grid.
+def march(mosaic, eye, dirs, *, n_steps: int, n_refine: int):
+    """Find the first ray/surface crossing for dense ray planes.
 
     Args:
       mosaic: TerrainMosaic.
       eye: ``f32[3]`` ECEF camera position.
-      dirs: ``f32[..., 3]`` unit ray directions.
+      dirs: tuple of unit-direction planes ``(dx, dy, dz)`` (any shape) or an
+        array ``[..., 3]`` (converted).
       n_steps / n_refine: static step budgets.
-      altitude: optional precomputed camera altitude (meters above R0).
 
-    Returns ``(hit, t_hit, pos_hit)``.
+    Returns ``(hit, t_hit)``; hit positions are ``eye + t_hit * d``.
     """
     eye = jnp.asarray(eye, jnp.float32)
+    if not isinstance(dirs, tuple):
+        d = jnp.asarray(dirs, jnp.float32)
+        dirs = (d[..., 0], d[..., 1], d[..., 2])
+    dx, dy, dz = dirs
+
     e_norm = jnp.linalg.norm(eye)
-    a0 = e_norm - R0 if altitude is None else jnp.float32(altitude)
+    a0 = e_norm - R0
     hmax = mosaic.hmax + 1.0
     r_shell = R0 + hmax
 
-    b = jnp.sum(dirs * eye, axis=-1)  # [...]
-    # c = |E|^2 - r_shell^2, computed stably via the altitude difference.
+    b = dx * eye[0] + dy * eye[1] + dz * eye[2]
+    # c = |E|^2 - r_shell^2 via the altitude difference (stable).
     c = (a0 - hmax) * (e_norm + r_shell)
-    c0 = a0 * (e_norm + R0)  # |E|^2 - R0^2, stable
+    c0 = a0 * (e_norm + R0)  # |E|^2 - R0^2
     disc = b * b - c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     inside = c <= 0.0
@@ -114,11 +121,12 @@ def march(mosaic, eye, dirs, *, n_steps: int, n_refine: int, altitude=None):
     t_exit = -b + sq
     feasible = (disc > 0.0) & (t_exit > 0.0)
 
-    # Additionally clip to the mosaic's bounding sphere — the terrain shell
-    # spans the whole horizon, but loaded tiles usually don't.
-    rel = eye - mosaic.bound_center
-    bb = jnp.sum(dirs * rel, axis=-1)
-    cb = jnp.sum(rel * rel) - mosaic.bound_radius * mosaic.bound_radius
+    # Clip to the mosaic bounding sphere.
+    rx = eye[0] - mosaic.bound_center[0]
+    ry = eye[1] - mosaic.bound_center[1]
+    rz = eye[2] - mosaic.bound_center[2]
+    bb = dx * rx + dy * ry + dz * rz
+    cb = rx * rx + ry * ry + rz * rz - mosaic.bound_radius * mosaic.bound_radius
     disc_b = bb * bb - cb
     sqb = jnp.sqrt(jnp.maximum(disc_b, 0.0))
     tb0 = -bb - sqb
@@ -130,13 +138,13 @@ def march(mosaic, eye, dirs, *, n_steps: int, n_refine: int, altitude=None):
     t1 = jnp.maximum(t1, t0)
     dt = (t1 - t0) / n_steps
 
-    f0, _ = _surface_f(mosaic, eye, dirs, c0, b, t0)
+    f0 = _surface_f(mosaic, eye, dirs, c0, b, t0)
     hit0 = f0 <= 0.0  # started at/below the surface
 
     def body(k, state):
         found, t_lo, t_hi, f_prev = state
         t_k = t0 + dt * k
-        f_k, _ = _surface_f(mosaic, eye, dirs, c0, b, t_k)
+        f_k = _surface_f(mosaic, eye, dirs, c0, b, t_k)
         crossing = (~found) & (f_prev > 0.0) & (f_k <= 0.0)
         t_lo = jnp.where(crossing, t_k - dt, t_lo)
         t_hi = jnp.where(crossing, t_k, t_hi)
@@ -150,16 +158,14 @@ def march(mosaic, eye, dirs, *, n_steps: int, n_refine: int, altitude=None):
     )
 
     def refine(_, state):
-        t_lo, t_hi = state
-        tm = 0.5 * (t_lo + t_hi)
-        fm, _ = _surface_f(mosaic, eye, dirs, c0, b, tm)
+        lo, hi = state
+        tm = 0.5 * (lo + hi)
+        fm = _surface_f(mosaic, eye, dirs, c0, b, tm)
         below = fm <= 0.0
-        return jnp.where(below, t_lo, tm), jnp.where(below, tm, t_hi)
+        return jnp.where(below, lo, tm), jnp.where(below, tm, hi)
 
     t_lo, t_hi = jax.lax.fori_loop(0, n_refine, refine, (t_lo, t_hi))
-    t_hit = t_hi
-    pos_hit = eye + t_hit[..., None] * dirs
-    return found, t_hit, pos_hit
+    return found, t_hi
 
 
 @partial(
@@ -171,6 +177,7 @@ def march(mosaic, eye, dirs, *, n_steps: int, n_refine: int, altitude=None):
         "n_refine",
         "quantize_rt",
         "apply_postprocess",
+        "pixelize_n",
     ),
 )
 def render_perspective(
@@ -181,7 +188,7 @@ def render_perspective(
     height: int,
     n_steps: int = 1024,
     n_refine: int = 24,
-    pixelize_n=100.0,
+    pixelize_n=None,
     quantize_rt: bool = True,
     apply_postprocess: bool = True,
 ):
@@ -193,51 +200,55 @@ def render_perspective(
     postprocessing. Returns a dict with linear-color image, depth, hit
     distance and mask — callers convert with `shading.to_srgb8_image`.
     """
-    dirs, fwd = camera_rays(camera, width, height)
+    (dx, dy, dz), fwd = camera_rays(camera, width, height)
     eye = jnp.asarray(camera.eye, jnp.float32)
 
+    hit, t_hit = march(mosaic, eye, (dx, dy, dz), n_steps=n_steps, n_refine=n_refine)
+
     # Near/far plane clipping along the view axis (matches rasterizer clip,
-    # `camera.rs:7-8`): pixels march only where near <= z_view <= far.
-    cosf = jnp.sum(dirs * fwd, axis=-1)
-    hit, t_hit, pos = march(mosaic, eye, dirs, n_steps=n_steps, n_refine=n_refine)
+    # `camera.rs:7-8`).
+    cosf = dx * fwd[0] + dy * fwd[1] + dz * fwd[2]
     z_view = t_hit * cosf
     hit = hit & (z_view >= NEAR) & (z_view <= FAR)
 
+    pos_x = eye[0] + t_hit * dx
+    pos_y = eye[1] + t_hit * dy
+    pos_z = eye[2] + t_hit * dz
+
     # Depth in the reference's convention: ndc z from the view-projection.
     vp = camera.build_view_proj_matrix(jnp.float32(width), jnp.float32(height))
-    ndc = mathx.project_point3(vp, pos)
-    depth = jnp.where(hit, ndc[..., 2], 1.0)
+    clip_z = vp[2, 0] * pos_x + vp[2, 1] * pos_y + vp[2, 2] * pos_z + vp[2, 3]
+    clip_w = vp[3, 0] * pos_x + vp[3, 1] * pos_y + vp[3, 2] * pos_z + vp[3, 3]
+    depth = jnp.where(hit, clip_z / clip_w, 1.0)
 
     # Attributes + shading at the hit point.
-    r = jnp.linalg.norm(pos, axis=-1)
-    lat = jnp.degrees(jnp.arcsin(jnp.clip(pos[..., 2] / r, -1.0, 1.0)))
-    lon = jnp.degrees(jnp.arctan2(pos[..., 1], pos[..., 0]))
+    r = jnp.sqrt(pos_x * pos_x + pos_y * pos_y + pos_z * pos_z)
+    lat = jnp.degrees(jnp.arcsin(jnp.clip(pos_z / r, -1.0, 1.0)))
+    lon = jnp.degrees(jnp.arctan2(pos_y, pos_x))
     gx, gy = raster_from_geo(mosaic, lon, lat)
-    _, n_world, _ = sample_attributes(mosaic, gx, gy)
+    _, n_x, n_y, n_z, _ = sample_attributes_soa(mosaic, gx, gy)
 
-    px = jnp.arange(width, dtype=jnp.float32) + 0.5
-    py = jnp.arange(height, dtype=jnp.float32) + 0.5
-    seed = jnp.stack(
-        [
-            px[None, :] + eye[0] - pos[..., 0],
-            py[:, None] + eye[1] - pos[..., 1],
-        ],
-        axis=-1,
-    )
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    seed_x = px + eye[0] - pos_x
+    seed_y = py + eye[1] - pos_y
+
     sun = camera.sun_angle.to_vec3()
     view_mode = jnp.int32(int(camera.view_mode))
-    color = shd.shade(n_world, sun, view_mode, seed)
-
-    sky = jnp.asarray(shd.SKY_COLOR, jnp.float32)
-    color = jnp.where(hit[..., None], color, sky)
+    cr, cg, cb = shd.shade_soa(n_x, n_y, n_z, sun, view_mode, seed_x, seed_y)
+    sky = shd.SKY_COLOR
+    cr = jnp.where(hit, cr, sky[0])
+    cg = jnp.where(hit, cg, sky[1])
+    cb = jnp.where(hit, cb, sky[2])
+    channels = (cr, cg, cb)
 
     if quantize_rt:
-        color = shd.quantize_srgb8(color)
+        channels = tuple(shd.quantize_srgb8(c) for c in channels)
     if apply_postprocess:
-        color = postprocess(color, depth, pixelize_n=pixelize_n)
+        channels = postprocess_soa(channels, depth, pixelize_n=pixelize_n)
 
     return {
-        "color": color,
+        "color": jnp.stack(channels, axis=-1),
         "depth": depth,
         "distance": jnp.where(hit, t_hit, FAR),
         "hit": hit,

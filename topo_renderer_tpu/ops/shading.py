@@ -83,6 +83,52 @@ def shade(world_normal, sun_direction, view_mode, dither_seed):
     return out
 
 
+def hash12n_soa(sx, sy):
+    """`hash12n` on separate seed planes (TPU lane-friendly)."""
+    px = _fract(sx * jnp.float32(5.3987))
+    py = _fract(sy * jnp.float32(5.4421))
+    d = py * (px + jnp.float32(21.5351)) + px * (py + jnp.float32(14.3137))
+    px = px + d
+    py = py + d
+    return _fract(px * py * jnp.float32(95.4307))
+
+
+def shade_soa(nx, ny, nz, sun_direction, view_mode, seed_x, seed_y):
+    """`shade` on scalar planes; returns (r, g, b) planes.
+
+    Identical math to the fragment shader (`render_shader.wgsl:96-115`), laid
+    out so every array keeps its full trailing pixel axis on the VPU lanes.
+    """
+    norm2 = nx * nx + ny * ny + nz * nz
+    inv = 1.0 / jnp.sqrt(jnp.maximum(norm2, 1e-30))
+    sun = jnp.asarray(sun_direction, jnp.float32)
+    ndots = (nx * sun[0] + ny * sun[1] + nz * sun[2]) * inv
+    intensity = AMBIENT_STRENGTH + DIFFUSE_STRENGTH * jnp.maximum(ndots, 0.0)
+
+    channels = []
+    for off in (0.0, 0.07, 0.11):
+        o = jnp.float32(off)
+        noise = (
+            hash12n_soa(seed_x + o, seed_y + o)
+            + hash12n_soa(seed_x + jnp.float32(0.13) + o, seed_y + jnp.float32(0.13) + o)
+            - 1.0
+        ) / jnp.float32(255.0)
+        channels.append(intensity + noise)
+    vis = (0.5 * (nx + 1.0), 0.5 * (ny + 1.0), 0.5 * (nz + 1.0))
+
+    view_mode = jnp.asarray(view_mode, jnp.int32)
+    out = []
+    for c in range(3):
+        out.append(
+            jnp.where(
+                view_mode == 2,
+                vis[c],
+                jnp.where(view_mode == 1, intensity, channels[c]),
+            )
+        )
+    return tuple(out)
+
+
 def linear_to_srgb(c):
     """Standard sRGB OETF — what the wgpu sRGB surface applies on write."""
     c = jnp.clip(c, 0.0, 1.0)

@@ -1,10 +1,10 @@
-"""Triangle-exact heightfield surface sampling.
+"""Triangle-exact heightfield surface sampling (TPU structure-of-arrays).
 
 The reference renders each tile as a regular grid mesh whose cells are split
 into two triangles along a diagonal that alternates with ``(i + j) % 2``
 (`topo-renderer/src/render/render_buffer.rs:191-219`). The rendered surface is
 therefore piecewise-linear over cells with a parity-dependent diagonal. The
-TPU ray-marcher reproduces **that exact surface** by interpolating heights and
+TPU marchers reproduce **that exact surface** by interpolating heights and
 vertex attributes triangle-exactly, so silhouettes and depths match what the
 reference's rasterizer produces.
 
@@ -17,13 +17,23 @@ south (rows); the NW corner is texel (cy, cx).
 
 (Global cell parity equals tile-local parity because COP-90 tile offsets are
 multiples of 1200 texels — even.)
+
+Performance notes (these functions sit inside the innermost march loops):
+  * all math is scalar-plane SoA — no ``[..., 3]`` trailing axes, which would
+    map onto 3 of the VPU's 128 lanes;
+  * validity is encoded in the height data itself (`scene.POISON_HEIGHT`),
+    so the hot loop gathers from exactly one table;
+  * normals come as one u32 gather per corner (world-space 10-bit packing,
+    see `models/scene.pack_normals`).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-INVALID_HEIGHT = -1.0e9
+from topo_renderer_tpu.models.scene import POISON_HEIGHT, unpack_normals
+
+INVALID_HEIGHT = POISON_HEIGHT
 
 
 def raster_from_geo(mosaic, lon_deg, lat_deg):
@@ -42,71 +52,84 @@ def geo_from_raster(mosaic, gx, gy):
 def tri_interp(v_nw, v_ne, v_sw, v_se, fx, fy, parity):
     """Interpolate a per-vertex attribute triangle-exactly within a cell.
 
-    All corner values broadcast; ``fx``/``fy`` in [0, 1]; ``parity`` in {0, 1}.
-    Channel axes must come last (fx/fy are expanded as needed by callers).
+    All arguments broadcast elementwise; ``parity`` in {0, 1}.
     """
-    # parity 0
+    # parity 0: diagonal NW-SE
     lower0 = v_nw + (v_se - v_sw) * fx + (v_sw - v_nw) * fy
     upper0 = v_nw + (v_ne - v_nw) * fx + (v_se - v_ne) * fy
     p0 = jnp.where(fx <= fy, lower0, upper0)
-    # parity 1
+    # parity 1: diagonal SW-NE
     upper1 = v_nw + (v_ne - v_nw) * fx + (v_sw - v_nw) * fy
     lower1 = v_se + (v_ne - v_se) * (1.0 - fy) + (v_sw - v_se) * (1.0 - fx)
     p1 = jnp.where(fx + fy <= 1.0, upper1, lower1)
     return jnp.where(parity == 0, p0, p1)
 
 
-def _cell_indices(mosaic, gx, gy):
+def _cell_setup(mosaic, gx, gy):
     h, w = mosaic.heights.shape
-    cx = jnp.floor(gx).astype(jnp.int32)
-    cy = jnp.floor(gy).astype(jnp.int32)
+    cxf = jnp.floor(gx)
+    cyf = jnp.floor(gy)
     in_bounds = (gx >= 0.0) & (gy >= 0.0) & (gx <= w - 1.0) & (gy <= h - 1.0)
-    cxc = jnp.clip(cx, 0, w - 2)
-    cyc = jnp.clip(cy, 0, h - 2)
-    fx = gx - cxc
-    fy = gy - cyc
-    parity = (cxc + cyc) % 2
-    return cxc, cyc, fx, fy, parity, in_bounds
+    cx = jnp.clip(cxf.astype(jnp.int32), 0, w - 2)
+    cy = jnp.clip(cyf.astype(jnp.int32), 0, h - 2)
+    fx = gx - cx
+    fy = gy - cy
+    parity = (cx + cy) % 2
+    idx = cy * w + cx
+    return idx, w, fx, fy, parity, in_bounds
 
 
 def sample_height(mosaic, gx, gy):
-    """Triangle-exact surface height at raster coords; INVALID_HEIGHT outside
-    the valid tile area (so ray tests can never report a hit there)."""
-    cx, cy, fx, fy, parity, in_bounds = _cell_indices(mosaic, gx, gy)
-    hgt = mosaic.heights
-    v_nw = hgt[cy, cx]
-    v_ne = hgt[cy, cx + 1]
-    v_sw = hgt[cy + 1, cx]
-    v_se = hgt[cy + 1, cx + 1]
-    h = tri_interp(v_nw, v_ne, v_sw, v_se, fx, fy, parity)
-    cell_ok = in_bounds & (mosaic.cell_tile[cy, cx] >= 0)
-    return jnp.where(cell_ok, h, INVALID_HEIGHT)
+    """Triangle-exact surface height at raster coords; hugely negative
+    (INVALID_HEIGHT / poisoned) outside the valid area, so ray tests can
+    never report a hit there."""
+    idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
+    flat = mosaic.heights.reshape(-1)
+    h_nw = jnp.take(flat, idx)
+    h_ne = jnp.take(flat, idx + 1)
+    h_sw = jnp.take(flat, idx + w)
+    h_se = jnp.take(flat, idx + w + 1)
+    h = tri_interp(h_nw, h_ne, h_sw, h_se, fx, fy, parity)
+    return jnp.where(in_bounds, h, INVALID_HEIGHT)
+
+
+def sample_attributes_soa(mosaic, gx, gy):
+    """Height + world-space normal planes at raster coords.
+
+    Returns ``(h, nx, ny, nz, ok)`` — all arrays of the coordinate shape.
+    The three vertex normals of the containing triangle are interpolated with
+    the same triangle weights the rasterizer uses (perspective-correct
+    interpolation is linear over the planar triangle), using the world-space
+    packed normal texture (`models/scene.pack_normals`).
+    """
+    idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
+    hflat = mosaic.heights.reshape(-1)
+    h_nw = jnp.take(hflat, idx)
+    h_ne = jnp.take(hflat, idx + 1)
+    h_sw = jnp.take(hflat, idx + w)
+    h_se = jnp.take(hflat, idx + w + 1)
+    h = tri_interp(h_nw, h_ne, h_sw, h_se, fx, fy, parity)
+
+    nflat = mosaic.normals_packed.reshape(-1)
+    p_nw = jnp.take(nflat, idx)
+    p_ne = jnp.take(nflat, idx + 1)
+    p_sw = jnp.take(nflat, idx + w)
+    p_se = jnp.take(nflat, idx + w + 1)
+    out = []
+    for shift, scale in ((0, 1023.0), (10, 1023.0), (20, 1023.0)):
+        c_nw = ((p_nw >> shift) & 0x3FF).astype(jnp.float32)
+        c_ne = ((p_ne >> shift) & 0x3FF).astype(jnp.float32)
+        c_sw = ((p_sw >> shift) & 0x3FF).astype(jnp.float32)
+        c_se = ((p_se >> shift) & 0x3FF).astype(jnp.float32)
+        comp = tri_interp(c_nw, c_ne, c_sw, c_se, fx, fy, parity)
+        out.append(2.0 * (comp / scale) - 1.0)
+    nx, ny, nz = out
+
+    ok = in_bounds & (h > 0.5 * INVALID_HEIGHT)
+    return jnp.where(ok, h, INVALID_HEIGHT), nx, ny, nz, ok
 
 
 def sample_attributes(mosaic, gx, gy):
-    """Height, world-space normal and validity at raster coords.
-
-    The three vertex normals of the containing triangle are interpolated with
-    the same triangle weights the rasterizer would use, then rotated by the
-    owning tile's normal->world matrix — exactly the vertex shader's
-    ``normal_to_world_rotation * normal`` (`render_shader.wgsl:66-67`)
-    followed by perspective-correct interpolation.
-    """
-    cx, cy, fx, fy, parity, in_bounds = _cell_indices(mosaic, gx, gy)
-    hgt = mosaic.heights
-    h = tri_interp(
-        hgt[cy, cx], hgt[cy, cx + 1], hgt[cy + 1, cx], hgt[cy + 1, cx + 1],
-        fx, fy, parity,
-    )
-    nrm = mosaic.normals
-    fxc = fx[..., None]
-    fyc = fy[..., None]
-    n_local = tri_interp(
-        nrm[cy, cx], nrm[cy, cx + 1], nrm[cy + 1, cx], nrm[cy + 1, cx + 1],
-        fxc, fyc, parity[..., None],
-    )
-    tile_idx = mosaic.cell_tile[cy, cx]
-    rot = mosaic.tile_rot[jnp.maximum(tile_idx, 0)]  # [..., 3, 3]
-    n_world = jnp.einsum("...ij,...j->...i", rot, n_local)
-    cell_ok = in_bounds & (tile_idx >= 0)
-    return jnp.where(cell_ok, h, INVALID_HEIGHT), n_world, cell_ok
+    """Compatibility wrapper: returns ``(h, n_world [..., 3], ok)``."""
+    h, nx, ny, nz, ok = sample_attributes_soa(mosaic, gx, gy)
+    return h, jnp.stack([nx, ny, nz], axis=-1), ok
