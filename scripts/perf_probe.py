@@ -51,8 +51,9 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
     )
     radius = np.float32(n * ps * 111_000.0)
     return TerrainMosaic(
-        heights=h,
-        normals_packed=packed,
+        heights_flat=h.reshape(-1),
+        normals_packed_flat=packed.reshape(-1),
+        shape=(n, n),
         valid=jnp.ones((n, n), bool),
         cell_tile=jnp.zeros((n, n), jnp.int32),
         tile_rot=rot,
@@ -88,7 +89,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     t0 = time.perf_counter()
     mosaic = synthetic_mosaic_device(n=2401)
-    jax.block_until_ready(mosaic.heights)
+    jax.block_until_ready(mosaic.heights_flat)
     print(f"mosaic on device: {time.perf_counter() - t0:.1f}s", flush=True)
     eye = eye_at(50.5, 20.0, 2800.0)
     sun = jnp.array([0.3, 0.5, 0.8])

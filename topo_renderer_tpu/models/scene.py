@@ -92,17 +92,23 @@ class TerrainMosaic:
         lat = -gy * pixel_scale[1] + model_point[1]
 
     Layout choices are TPU-driven:
-      * ``heights`` is the only array the inner march loop gathers from;
+      * ``heights_flat`` is the only array the inner march loop gathers from;
         validity is encoded by poisoning unloaded texels (POISON_HEIGHT)
         instead of a second mask array.
-      * ``normals_packed`` stores each texel's quantized normal as one
-        uint32 in rgba8 layout — exactly the reference's Rgba8Unorm normal
-        texture (`compute_normals_shader.wgsl:47-50`) — so per-pixel shading
-        costs one gather + cheap bit unpacking instead of three f32 gathers.
+      * gather tables are stored *flat* (1-D). XLA gathers want linear
+        T(1024) layouts; storing 2-D T(8,128)-tiled arrays forces a full
+        relayout copy of the table on every render call (observed as
+        hundreds of ms in traces).
+      * ``normals_packed_flat`` stores each texel's quantized *world-space*
+        normal as one uint32 (10 bits/channel — the reference's Rgba8Unorm
+        texture idea, `compute_normals_shader.wgsl:47-50`, with the per-tile
+        rotation of `render_shader.wgsl:66-67` baked in at build), so shading
+        costs one gather + cheap bit unpacking per corner.
     """
 
-    heights: Any  # f32[Hm, Wm], POISON_HEIGHT outside valid tiles
-    normals_packed: Any  # u32[Hm, Wm]: world-space normal, 10 bits/channel
+    heights_flat: Any  # f32[Hm*Wm], POISON_HEIGHT outside valid tiles
+    normals_packed_flat: Any  # u32[Hm*Wm]: world-space normal, 10b/channel
+    shape: tuple  # (Hm, Wm) — static
     valid: Any  # bool[Hm, Wm] (host convenience; not used in hot loops)
     cell_tile: Any  # int32[Hm, Wm]; index into tile tables for the cell whose
     # NW texel this is; -1 where no tile owns the cell
@@ -114,8 +120,13 @@ class TerrainMosaic:
     bound_radius: Any  # f32 scalar bounding-sphere radius (meters)
 
     @property
-    def shape(self):
-        return self.heights.shape
+    def heights(self):
+        """2-D view ``f32[Hm, Wm]`` (device op; hot loops use heights_flat)."""
+        return self.heights_flat.reshape(self.shape)
+
+    @property
+    def normals_packed(self):
+        return self.normals_packed_flat.reshape(self.shape)
 
     @property
     def normals(self):
@@ -127,8 +138,8 @@ class TerrainMosaic:
 jax.tree_util.register_dataclass(
     TerrainMosaic,
     data_fields=[
-        "heights",
-        "normals_packed",
+        "heights_flat",
+        "normals_packed_flat",
         "valid",
         "cell_tile",
         "tile_rot",
@@ -138,7 +149,7 @@ jax.tree_util.register_dataclass(
         "bound_center",
         "bound_radius",
     ],
-    meta_fields=[],
+    meta_fields=["shape"],
 )
 
 
@@ -270,8 +281,9 @@ def build_mosaic(
     radius = float(np.linalg.norm(corners - center, axis=1).max()) * 1.001 + 1.0
 
     return TerrainMosaic(
-        heights=jnp.asarray(heights),
-        normals_packed=jnp.asarray(normals_packed),
+        heights_flat=jnp.asarray(heights.reshape(-1)),
+        normals_packed_flat=jnp.asarray(normals_packed.reshape(-1)),
+        shape=(h_m, w_m),
         valid=jnp.asarray(valid),
         cell_tile=jnp.asarray(cell_tile),
         tile_rot=jnp.asarray(rotations),

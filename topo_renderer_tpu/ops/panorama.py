@@ -65,7 +65,7 @@ class PanoramaSpec:
     n_steps: int = 1024
     s_near: float = 5.0  # meters along the ground
     s_far: float = FAR
-    n_refine: int = 4
+    n_refine: int = 2
 
     def elevation_range(self) -> tuple[float, float]:
         if self.elev_min is not None and self.elev_max is not None:
@@ -161,24 +161,45 @@ def render_panorama(
     rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
     e_pix = (jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo))[:, None]  # [H, 1]
 
-    # Binary search: first k with m_prof[k] > e_pix (searchsorted 'right').
-    lo = jnp.zeros((H, W), jnp.int32)
-    hi = jnp.full((H, W), N, jnp.int32)
-    for _ in range(int(N).bit_length()):
-        mid = (lo + hi) >> 1
-        v = jnp.take_along_axis(m_prof, mid, axis=0)
-        go_right = v <= e_pix
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    kstar = lo  # [H, W]
-    hit = kstar < N
+    # First-crossing search as a forward scan over profile chunks. A binary
+    # search (or XLA searchsorted) would cost O(log N) random gathers of
+    # [H, W] values — each such gather measures ~100x slower on TPU than the
+    # equivalent dense compare — so instead each profile step broadcasts
+    # against all pixel rows and the crossing state is carried densely.
+    # At the first k with M_k > e_pix the running max must have just risen,
+    # so theta_k == M_k; M_{k-1} comes from the shifted profile.
+    m_prev = jnp.concatenate(
+        [jnp.full((1, W), -1.0e30, jnp.float32), m_prof[:-1]], axis=0
+    )
+    CHUNK = 16
+    assert N % CHUNK == 0, "n_steps must be a multiple of 16"
 
-    k_hi = jnp.clip(kstar, 0, N - 1)
-    k_lo = jnp.clip(kstar - 1, 0, N - 1)
-    theta_hi = jnp.take_along_axis(e_prof, k_hi, axis=0)
-    m_lo = jnp.take_along_axis(m_prof, k_lo, axis=0)
-    sig_hi = sigma_of(k_hi.astype(jnp.float32))
-    sig_lo = jnp.where(kstar > 0, sigma_of(k_lo.astype(jnp.float32)), sigma_of(0.0))
+    def body(carry, i):
+        kf, th_c, mb_c = carry
+        base = i * CHUNK
+        m_chunk = jax.lax.dynamic_slice_in_dim(m_prof, base, CHUNK, 0)
+        p_chunk = jax.lax.dynamic_slice_in_dim(m_prev, base, CHUNK, 0)
+        for c in range(CHUNK):
+            m_k = m_chunk[c][None, :]
+            cross = (kf >= jnp.float32(N)) & (m_k > e_pix)
+            th_c = jnp.where(cross, m_k, th_c)
+            mb_c = jnp.where(cross, p_chunk[c][None, :], mb_c)
+            kf = jnp.where(cross, (base + c).astype(jnp.float32), kf)
+        return (kf, th_c, mb_c), None
+
+    init = (
+        jnp.full((H, W), jnp.float32(N)),
+        jnp.zeros((H, W), jnp.float32),
+        jnp.zeros((H, W), jnp.float32),
+    )
+    (kf, theta_hi, m_lo), _ = jax.lax.scan(
+        body, init, jnp.arange(N // CHUNK, dtype=jnp.int32)
+    )
+    hit = kf < jnp.float32(N)
+    kstar = jnp.clip(kf, 0.0, jnp.float32(N - 1))
+
+    sig_hi = sigma_of(kstar)
+    sig_lo = jnp.where(kstar > 0, sigma_of(jnp.maximum(kstar - 1.0, 0.0)), sigma_of(0.0))
 
     denom = theta_hi - m_lo
     tfrac = jnp.clip(

@@ -66,7 +66,7 @@ def tri_interp(v_nw, v_ne, v_sw, v_se, fx, fy, parity):
 
 
 def _cell_setup(mosaic, gx, gy):
-    h, w = mosaic.heights.shape
+    h, w = mosaic.shape
     cxf = jnp.floor(gx)
     cyf = jnp.floor(gy)
     in_bounds = (gx >= 0.0) & (gy >= 0.0) & (gx <= w - 1.0) & (gy <= h - 1.0)
@@ -84,7 +84,7 @@ def sample_height(mosaic, gx, gy):
     (INVALID_HEIGHT / poisoned) outside the valid area, so ray tests can
     never report a hit there."""
     idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
-    flat = mosaic.heights.reshape(-1)
+    flat = mosaic.heights_flat
     h_nw = jnp.take(flat, idx)
     h_ne = jnp.take(flat, idx + 1)
     h_sw = jnp.take(flat, idx + w)
@@ -103,14 +103,14 @@ def sample_attributes_soa(mosaic, gx, gy):
     packed normal texture (`models/scene.pack_normals`).
     """
     idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
-    hflat = mosaic.heights.reshape(-1)
+    hflat = mosaic.heights_flat
     h_nw = jnp.take(hflat, idx)
     h_ne = jnp.take(hflat, idx + 1)
     h_sw = jnp.take(hflat, idx + w)
     h_se = jnp.take(hflat, idx + w + 1)
     h = tri_interp(h_nw, h_ne, h_sw, h_se, fx, fy, parity)
 
-    nflat = mosaic.normals_packed.reshape(-1)
+    nflat = mosaic.normals_packed_flat
     p_nw = jnp.take(nflat, idx)
     p_ne = jnp.take(nflat, idx + 1)
     p_sw = jnp.take(nflat, idx + w)
