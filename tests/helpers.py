@@ -3,11 +3,31 @@
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 from topo_renderer_tpu.data.coordinate_transform import CoordinateTransform
 from topo_renderer_tpu.geo import GeoCoord, GeoLocation
 from topo_renderer_tpu.models.camera import Camera
 from topo_renderer_tpu.models.scene import TerrainTile, build_mosaic
+from topo_renderer_tpu.ops import mathx
+
+
+def yaw_towards(cam: Camera, target_dir):
+    """Yaw value that points the camera's horizontal direction at target_dir."""
+    up = np.asarray(cam.up())
+    q = mathx.quat_from_rotation_arc(jnp.array([0.0, -1.0, 0.0]), jnp.asarray(up))
+    x_w = np.asarray(mathx.quat_rotate(q, jnp.array([1.0, 0.0, 0.0])))
+    z_w = np.asarray(mathx.quat_rotate(q, jnp.array([0.0, 0.0, 1.0])))
+    t = np.asarray(target_dir, np.float64)
+    t = t - up * (t @ up)
+    t /= np.linalg.norm(t)
+    return float(np.arctan2(t @ z_w, t @ x_w))
+
+
+def east_at(cam: Camera):
+    eye = np.asarray(cam.eye, np.float64)
+    lon = np.arctan2(eye[1], eye[0])
+    return np.array([-np.sin(lon), np.cos(lon), 0.0])
 
 
 def synthetic_heights(n=65, amp=500.0, base=1500.0, seed=0, freq=3.0):

@@ -1,0 +1,122 @@
+"""RenderEngine integration tests: tiles, peaks, occlusion, labels, overlay.
+
+Covers the reference's core occlusion algorithm (SURVEY §3.4): a peak is
+visible iff its linearized distance minus 10 m is closer than the depth
+buffer at its projected pixel.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from tests.helpers import east_at, make_tile, yaw_towards
+from topo_renderer_tpu.geo import GeoCoord, GeoLocation
+from topo_renderer_tpu.models.camera import Camera
+from topo_renderer_tpu.models.uniforms import PeakInstance
+from topo_renderer_tpu.ops.geometry import ecef_from_geo
+from topo_renderer_tpu.ops.panorama import PanoramaSpec
+from topo_renderer_tpu.render.engine import RenderEngine
+
+
+def hill_tile(n=65, span=0.05, base=1000.0, hill=800.0):
+    """Flat tile with a single Gaussian hill in the middle."""
+    tile = make_tile(49, 20, n=n, span_deg=span)
+    ys, xs = np.mgrid[0:n, 0:n] / (n - 1)
+    tile.heights[:] = base + hill * np.exp(
+        -(((xs - 0.5) ** 2 + (ys - 0.5) ** 2) / 0.003)
+    ).astype(np.float32)
+    return tile
+
+
+def build_engine(n=65, span=0.05):
+    tile = hill_tile(n=n, span=span)
+    engine = RenderEngine()
+    engine.add_terrain(tile.location, tile.heights, tile.transform)
+
+    # Camera west of the hill, at base + 200, looking east at the hill.
+    lat = 49.0 + span / 2
+    lon_cam = 20.0 + span * 0.1
+    cam = Camera().reset(GeoCoord(lat, lon_cam), 1400.0)
+    cam = dataclasses.replace(cam, yaw=yaw_towards(cam, east_at(cam)), pitch=0.0)
+
+    # Peak A: on the hill summit (visible). Peak B: at ground level on the
+    # far side of the hill (occluded).
+    lon_summit = 20.0 + span * 0.5
+    lon_behind = 20.0 + span * 0.8
+    peak_a = PeakInstance(
+        position=np.asarray(ecef_from_geo(1800.0 + 10.0, lon_summit, lat)),
+        name="Summit",
+    )
+    peak_b = PeakInstance(
+        position=np.asarray(ecef_from_geo(1000.0 + 10.0, lon_behind, lat)),
+        name="Hidden",
+    )
+    engine.add_peaks(tile.location, [peak_a, peak_b])
+    return engine, cam, tile
+
+
+def test_engine_render_with_labels():
+    engine, cam, tile = build_engine()
+    res = engine.render(cam, 160, 100, n_steps=512, n_refine=16)
+    assert res.color.shape == (100, 160, 3)
+    assert res.color.dtype == np.uint8
+    assert res.hit.mean() > 0.1
+
+    peaks = engine._peaks[tile.location]
+    assert peaks[0].visible, "summit peak should be visible"
+    assert not peaks[1].visible, "peak behind the hill should be occluded"
+    assert len(res.layouts) == 1
+    assert res.layouts[0].id == 0
+
+    # Overlay puts a white label box somewhere.
+    res_plain = engine.render(cam, 160, 100, n_steps=512, n_refine=16, composite=False)
+    assert (res.color != res_plain.color).any()
+
+
+def test_engine_unload():
+    engine, cam, tile = build_engine()
+    engine.render(cam, 32, 24, n_steps=64, n_refine=4, with_labels=False)
+    engine.unload_terrain(tile.location)
+    assert engine.loaded_locations == set()
+
+
+def test_engine_panorama_and_batch():
+    engine, cam, tile = build_engine()
+    spec = PanoramaSpec(width=128, height=48, n_steps=256, n_refine=2)
+    res = engine.render_panorama(cam, spec)
+    assert res.color.shape == (48, 128, 3)
+    assert res.hit.mean() > 0.05
+    # Summit peak visible in the panorama too.
+    assert engine._peaks[tile.location][0].visible
+
+    eyes = np.stack([np.asarray(cam.eye)] * 3)
+    suns = np.stack([np.asarray(cam.sun_angle.to_vec3())] * 3)
+    batch = np.asarray(engine.render_batch(eyes, spec, suns))
+    assert batch.shape == (3, 48, 128, 3)
+    np.testing.assert_allclose(batch[0], batch[2], atol=1e-6)
+
+
+def test_multi_tile_mosaic_engine():
+    """Two adjacent tiles sharing a seam column render as one surface."""
+    t_w = make_tile(49, 20, n=33, span_deg=0.03)
+    t_e = make_tile(49, 20, n=33, span_deg=0.03)
+    # Shift east tile's transform by the tile span; share the seam column.
+    from topo_renderer_tpu.data.coordinate_transform import CoordinateTransform
+
+    ps = t_w.transform.pixel_scale[0]
+    t_e.location = GeoLocation.from_coord(49, 21)
+    t_e.transform = CoordinateTransform(
+        raster_point=(0.0, 0.0),
+        model_point=(t_w.transform.model_point[0] + 0.03, t_w.transform.model_point[1]),
+        pixel_scale=(ps, ps),
+    )
+    t_e.heights[:, 0] = t_w.heights[:, -1]
+
+    engine = RenderEngine()
+    engine.add_terrain(t_w.location, t_w.heights, t_w.transform)
+    engine.add_terrain(t_e.location, t_e.heights, t_e.transform)
+    mosaic = engine.mosaic
+    assert mosaic.shape == (33, 65)
+    # Seam column carries stitched (not border) normals.
+    normals = np.asarray(mosaic.normals)
+    assert not np.allclose(normals[16, 32], [-1, -1, -1])

@@ -1,0 +1,258 @@
+"""RenderEngine: the top-level rendering API.
+
+TPU-native counterpart of `topo-renderer/src/render/render_engine.rs`:
+  * owns the loaded tile set and per-tile peak lists
+    (`render_engine.rs:34-44`, `ApplicationData`,
+    `src/data/application_data.rs:16-45`)
+  * ``add_terrain`` / ``unload_terrain`` mirror `TerrainRenderer`
+    (`src/render/terrain_renderer.rs:173,361`); instead of allocating GPU
+    textures per tile, the engine rebuilds the device mosaic lazily
+  * ``render`` runs the full two-pass pipeline and the peak-label pass:
+    project peaks, occlusion-test against the *device-resident* depth buffer
+    (no PCIe readback round trip, compare `render_engine.rs:219-249,287-336`),
+    lay out rows, composite text/lines on host
+  * ``render_panorama`` / ``render_batch`` are the TPU throughput modes
+    (batched viewpoints via `jax.vmap`, SURVEY §7 step 8)
+
+Peak arrays are padded to power-of-two capacities so tile-set changes do not
+recompile the jitted ops (SURVEY §7 "dynamic tile sets under jit").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topo_renderer_tpu.data.coordinate_transform import CoordinateTransform
+from topo_renderer_tpu.geo import GeoLocation
+from topo_renderer_tpu.models.camera import Camera
+from topo_renderer_tpu.models.scene import TerrainMosaic, TerrainTile, build_mosaic
+from topo_renderer_tpu.models.uniforms import PeakInstance
+from topo_renderer_tpu.ops import shading
+from topo_renderer_tpu.ops.labels import peak_visibility, peak_visibility_panorama
+from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
+from topo_renderer_tpu.ops.raycast import render_perspective
+from topo_renderer_tpu.render import text as text_mod
+from topo_renderer_tpu.render.overlay import composite_labels
+
+
+@dataclasses.dataclass
+class RenderResult:
+    color: np.ndarray  # u8 sRGB [H, W, 3]
+    color_linear: np.ndarray  # f32 [H, W, 3]
+    depth: np.ndarray  # f32 [H, W]
+    distance: np.ndarray
+    hit: np.ndarray
+    visible_labels: dict  # {GeoLocation: [(label_id, (x, y)), ...]}
+    layouts: list  # [LabelLayout]
+
+
+class RenderEngine:
+    def __init__(self):
+        self._tiles: dict[GeoLocation, TerrainTile] = {}
+        self._peaks: dict[GeoLocation, list[PeakInstance]] = {}
+        self._mosaic: TerrainMosaic | None = None
+        self._dirty = True
+
+    # ---- tile management (reference: terrain_renderer.rs:173,361) --------
+
+    def add_terrain(
+        self,
+        location: GeoLocation,
+        heights: np.ndarray,
+        transform: CoordinateTransform,
+    ) -> None:
+        self._tiles[location] = TerrainTile(location, np.asarray(heights, np.float32), transform)
+        self._dirty = True
+
+    def unload_terrain(self, location: GeoLocation) -> None:
+        self._tiles.pop(location, None)
+        self._peaks.pop(location, None)
+        self._dirty = True
+
+    def add_peaks(self, location: GeoLocation, peaks: Sequence[PeakInstance]) -> None:
+        """Peaks must already be elevation-sorted with ECEF positions
+        (+10 m), as produced by the fetch pipeline
+        (`background_runner.rs:142-162`)."""
+        self._peaks[location] = list(peaks)
+
+    @property
+    def loaded_locations(self) -> set[GeoLocation]:
+        return set(self._tiles.keys())
+
+    @property
+    def mosaic(self) -> TerrainMosaic:
+        if self._dirty or self._mosaic is None:
+            if not self._tiles:
+                raise RuntimeError("no terrain loaded")
+            order = sorted(self._tiles.keys())
+            self._mosaic = build_mosaic([self._tiles[k] for k in order])
+            self._dirty = False
+        return self._mosaic
+
+    # ---- peak padding ----------------------------------------------------
+
+    def _padded_peaks(self):
+        entries = []  # (location, index_within_location, instance)
+        for loc in sorted(self._peaks.keys()):
+            if loc not in self._tiles:
+                continue
+            for i, inst in enumerate(self._peaks[loc]):
+                entries.append((loc, i, inst))
+        n = len(entries)
+        cap = max(8, 1 << (n - 1).bit_length()) if n else 8
+        pos = np.zeros((cap, 3), np.float32)
+        valid = np.zeros((cap,), bool)
+        for j, (_, _, inst) in enumerate(entries):
+            pos[j] = np.asarray(inst.position, np.float32)
+            valid[j] = True
+        return entries, jnp.asarray(pos), jnp.asarray(valid)
+
+    # ---- rendering -------------------------------------------------------
+
+    def render(
+        self,
+        camera: Camera,
+        width: int,
+        height: int,
+        *,
+        n_steps: int = 1024,
+        n_refine: int = 24,
+        pixelize_n=None,
+        with_labels: bool = True,
+        composite: bool = True,
+    ) -> RenderResult:
+        """Full frame: terrain + postprocess + label pass (reference render
+        loop §3.3/§3.4 of SURVEY)."""
+        mosaic = self.mosaic
+        out = render_perspective(
+            mosaic,
+            camera,
+            width=width,
+            height=height,
+            n_steps=n_steps,
+            n_refine=n_refine,
+            pixelize_n=pixelize_n,
+        )
+        vp = camera.build_view_proj_matrix(float(width), float(height))
+
+        visible_labels: dict[GeoLocation, list] = {}
+        layouts: list = []
+        if with_labels and self._peaks:
+            entries, pos, valid = self._padded_peaks()
+            vis = peak_visibility(
+                pos, valid, vp, out["depth"], width=width, height=height
+            )
+            visible = np.asarray(vis["visible"])
+            xs = np.asarray(vis["x"])
+            ys = np.asarray(vis["y"])
+            for j, (loc, i, inst) in enumerate(entries):
+                inst.visible = bool(visible[j])
+                if inst.visible:
+                    visible_labels.setdefault(loc, []).append((i, (int(xs[j]), int(ys[j]))))
+            layouts = text_mod.layout_labels(
+                visible_labels,
+                lambda loc, i: text_mod.measure_text(self._peaks[loc][i].name),
+            )
+
+        color_linear = np.asarray(out["color"])
+        color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
+        if composite and layouts:
+            names = {
+                (loc, i): self._peaks[loc][i].name
+                for loc in visible_labels
+                for i, _ in visible_labels[loc]
+            }
+            color_u8 = composite_labels(color_u8, layouts, names)
+
+        return RenderResult(
+            color=color_u8,
+            color_linear=color_linear,
+            depth=np.asarray(out["depth"]),
+            distance=np.asarray(out["distance"]),
+            hit=np.asarray(out["hit"]),
+            visible_labels=visible_labels,
+            layouts=layouts,
+        )
+
+    def render_panorama(
+        self,
+        camera_or_eye,
+        spec: PanoramaSpec,
+        *,
+        sun_direction=None,
+        view_mode=0,
+        fog: str | None = None,
+        pixelize_n=None,
+        with_labels: bool = True,
+        composite: bool = True,
+    ) -> RenderResult:
+        """Cylindrical panorama with the same label pass (TPU-native mode)."""
+        if isinstance(camera_or_eye, Camera):
+            eye = jnp.asarray(camera_or_eye.eye, jnp.float32)
+            if sun_direction is None:
+                sun_direction = camera_or_eye.sun_angle.to_vec3()
+            view_mode = int(camera_or_eye.view_mode)
+        else:
+            eye = jnp.asarray(camera_or_eye, jnp.float32)
+            if sun_direction is None:
+                raise ValueError("sun_direction required when passing a raw eye")
+
+        out = render_panorama(
+            self.mosaic, eye, spec, sun_direction, view_mode=view_mode,
+            fog=fog, pixelize_n=pixelize_n,
+        )
+
+        visible_labels: dict[GeoLocation, list] = {}
+        layouts: list = []
+        if with_labels and self._peaks:
+            entries, pos, valid = self._padded_peaks()
+            vis = peak_visibility_panorama(pos, valid, eye, spec, out["depth"])
+            visible = np.asarray(vis["visible"])
+            xs = np.asarray(vis["x"])
+            ys = np.asarray(vis["y"])
+            for j, (loc, i, inst) in enumerate(entries):
+                inst.visible = bool(visible[j])
+                if inst.visible:
+                    visible_labels.setdefault(loc, []).append((i, (int(xs[j]), int(ys[j]))))
+            layouts = text_mod.layout_labels(
+                visible_labels,
+                lambda loc, i: text_mod.measure_text(self._peaks[loc][i].name),
+            )
+
+        color_linear = np.asarray(out["color"])
+        color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
+        if composite and layouts:
+            names = {
+                (loc, i): self._peaks[loc][i].name
+                for loc in visible_labels
+                for i, _ in visible_labels[loc]
+            }
+            color_u8 = composite_labels(color_u8, layouts, names)
+
+        return RenderResult(
+            color=color_u8,
+            color_linear=color_linear,
+            depth=np.asarray(out["depth"]),
+            distance=np.asarray(out["distance"]),
+            hit=np.asarray(out["hit"]),
+            visible_labels=visible_labels,
+            layouts=layouts,
+        )
+
+    def render_batch(self, eyes, spec: PanoramaSpec, sun_directions, view_mode=0, fog=None):
+        """Batched panorama rendering: ``eyes f32[B, 3]`` -> color
+        ``f32[B, H, W, 3]`` (BASELINE config 5 throughput mode). Labels are
+        skipped in batch mode; use `render_panorama` per frame for labels."""
+        eyes = jnp.asarray(eyes, jnp.float32)
+        suns = jnp.asarray(sun_directions, jnp.float32)
+        fn = jax.vmap(
+            lambda e, s: render_panorama(
+                self.mosaic, e, spec, s, view_mode=view_mode, fog=fog
+            )["color"]
+        )
+        return fn(eyes, suns)
