@@ -1,0 +1,63 @@
+"""Driver benchmark: one JSON line with the headline metric.
+
+Config-4-shaped workload (BASELINE.md): wide-area synthetic terrain,
+4096x1024 360° panorama with atmospheric shading, one TPU chip. Target:
+<= 16 ms/panorama. ``vs_baseline`` = target_ms / measured_ms (>= 1 means the
+target is met; higher is better).
+
+Terrain is generated on device to keep the benchmark independent of
+host->device tunnel bandwidth (a real scene pays that once per tile load).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_MS = 16.0
+
+
+def main():
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from perf_probe import eye_at, synthetic_mosaic_device
+
+    from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
+
+    # ~4 degrees of 3-arcsec terrain resident on device (~16 COP-90 tiles
+    # stitched; bounded by tunnel-free generation, see scripts/perf_probe.py).
+    mosaic = synthetic_mosaic_device(n=4801)
+    jax.block_until_ready(mosaic.heights_flat)
+
+    eye = eye_at(50.0, 20.0, 2800.0)
+    sun = jnp.array([0.3, 0.5, 0.8], jnp.float32)
+    spec = PanoramaSpec(width=4096, height=1024, n_steps=1024, n_refine=2)
+
+    def run():
+        return render_panorama(mosaic, eye, spec, sun, fog="atmosphere")["color"]
+
+    jax.block_until_ready(run())  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append(time.perf_counter() - t0)
+    ms = min(times) * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "ms per 4096x1024 panorama (atmospheric shading, 1 chip)",
+                "value": round(ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(TARGET_MS / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

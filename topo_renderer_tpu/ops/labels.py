@@ -81,7 +81,7 @@ def peak_visibility(
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def peak_visibility_panorama(positions, valid, eye, spec, depth):
+def peak_visibility_panorama(positions, valid, eye, spec, depth, azimuth_offset=0.0):
     """Panorama-space variant (TPU-native extension — the reference has no
     panorama mode): peaks project via azimuth/elevation, occlusion compares
     metric distance against the panorama depth buffer with the same 10 m
@@ -111,7 +111,7 @@ def peak_visibility_panorama(positions, valid, eye, spec, depth):
     elev = jnp.arcsin(jnp.clip(w_up / jnp.maximum(dist, 1e-6), -1.0, 1.0))
 
     # Wrap azimuth into the panorama span.
-    rel = (azimuth - spec.azimuth_start) % (2.0 * jnp.pi)
+    rel = (azimuth - spec.azimuth_start - jnp.float32(azimuth_offset)) % (2.0 * jnp.pi)
     u = rel / spec.azimuth_span
     e_lo, e_hi = spec.elevation_range()
     v = (jnp.float32(e_hi) - elev) / jnp.float32(e_hi - e_lo)

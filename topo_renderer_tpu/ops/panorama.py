@@ -123,19 +123,23 @@ def render_panorama(
     apply_postprocess: bool = True,
     fog: str | None = None,
     fog_density: float = 1.0 / 80_000.0,
+    azimuth_offset=0.0,
+    pixel_offset_x=0.0,
 ):
     """Render a cylindrical panorama around ``eye``.
 
     Returns the same output dict as `ops.raycast.render_perspective` (color,
     depth in the reference 0..1 convention, distance, hit mask).
-    ``fog``: None | "distance" | "atmosphere".
+    ``fog``: None | "distance" | "atmosphere". ``azimuth_offset`` is a traced
+    extra rotation — azimuth-sharded rendering passes each shard's slice
+    offset here (`parallel/sharded.py`).
     """
     eye = jnp.asarray(eye, jnp.float32)
     W, H, N = spec.width, spec.height, spec.n_steps
 
     a0, up, (ex, ey), (nx0, ny0, nz0) = _eye_frame(eye)
 
-    phi = spec.azimuth_start + spec.azimuth_span * (
+    phi = spec.azimuth_start + jnp.float32(azimuth_offset) + spec.azimuth_span * (
         (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     )
     cphi, sphi = jnp.cos(phi), jnp.sin(phi)
@@ -247,7 +251,7 @@ def render_panorama(
     # (`render_shader.wgsl:103`), all in f32 like the reference.
     pos_x = (R0 + h_star) * sdx
     pos_y = (R0 + h_star) * sdy
-    px = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
+    px = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5 + jnp.float32(pixel_offset_x)
     py = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
     seed_x = px + eye[0] - pos_x
     seed_y = py + eye[1] - pos_y
