@@ -38,9 +38,15 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
             jnp.uint32
         )
         packed = enc[..., 0] | (enc[..., 1] << 10) | (enc[..., 2] << 20)
-        return h, packed
+        mips = []
+        cur = h
+        while min(cur.shape) >= 8:
+            hh, ww = cur.shape[0] // 2, cur.shape[1] // 2
+            cur = cur[: 2 * hh, : 2 * ww].reshape(hh, 2, ww, 2).mean(axis=(1, 3))
+            mips.append(cur)
+        return h, packed, tuple(mips)
 
-    h, packed = gen()
+    h, packed, mips = gen()
     rot = rot3[None]
     lat_c = lat_nw - ps * n / 2
     lon_c = lon_nw + ps * n / 2
@@ -54,6 +60,8 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
         heights_flat=h.reshape(-1),
         normals_packed_flat=packed.reshape(-1),
         shape=(n, n),
+        mip_heights_flat=tuple(m.reshape(-1) for m in mips),
+        mip_shapes=tuple(m.shape for m in mips),
         valid=jnp.ones((n, n), bool),
         cell_tile=jnp.zeros((n, n), jnp.int32),
         tile_rot=rot,

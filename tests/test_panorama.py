@@ -118,6 +118,33 @@ def test_panorama_full_circle_wraps():
     assert np.asarray(out["hit"]).mean() > 0.05
 
 
+def test_fast_preset_close_to_exact():
+    """The LOD/fast preset must stay visually close to the exact path on a
+    smooth scene: hit masks nearly identical, distances within a few percent."""
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=500.0)
+    kw = dict(
+        width=128, height=64, elev_min=-0.3, elev_max=0.1,
+        s_near=5.0, s_far=40_000.0,
+    )
+    exact = PanoramaSpec(n_steps=512, n_refine=6, **kw)
+    fast = PanoramaSpec.fast(n_steps=256, **kw)
+    sun = np.asarray(cam.sun_angle.to_vec3())
+    a = render_panorama(mosaic, cam.eye, exact, sun, quantize_rt=False, apply_postprocess=False)
+    b = render_panorama(mosaic, cam.eye, fast, sun, quantize_rt=False, apply_postprocess=False)
+    ha, hb = np.asarray(a["hit"]), np.asarray(b["hit"])
+    assert (ha == hb).mean() > 0.97
+    both = ha & hb
+    rel = np.abs(np.asarray(a["distance"]) - np.asarray(b["distance"]))[both] / np.maximum(
+        np.asarray(a["distance"])[both], 1.0
+    )
+    # Nearest+strided profile trades ~texel-level accuracy for gather count.
+    assert np.median(rel) < 0.04
+    assert np.percentile(rel, 90) < 0.15
+    # Shading should broadly agree as well (nearest attrs vs triangle interp).
+    diff = np.abs(np.asarray(a["color"]) - np.asarray(b["color"]))[both]
+    assert np.median(diff) < 0.05
+
+
 def test_panorama_fog_modes():
     mosaic, cam, _ = small_scene(n=33, span_deg=0.03, height_above=300.0)
     spec = PanoramaSpec(width=32, height=16, n_steps=128, n_refine=2)

@@ -109,6 +109,8 @@ class TerrainMosaic:
     heights_flat: Any  # f32[Hm*Wm], POISON_HEIGHT outside valid tiles
     normals_packed_flat: Any  # u32[Hm*Wm]: world-space normal, 10b/channel
     shape: tuple  # (Hm, Wm) — static
+    mip_heights_flat: tuple  # per-level flat f32 height pyramids (level 1..)
+    mip_shapes: tuple  # static shapes of the mip levels
     valid: Any  # bool[Hm, Wm] (host convenience; not used in hot loops)
     cell_tile: Any  # int32[Hm, Wm]; index into tile tables for the cell whose
     # NW texel this is; -1 where no tile owns the cell
@@ -140,6 +142,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "heights_flat",
         "normals_packed_flat",
+        "mip_heights_flat",
         "valid",
         "cell_tile",
         "tile_rot",
@@ -149,8 +152,35 @@ jax.tree_util.register_dataclass(
         "bound_center",
         "bound_radius",
     ],
-    meta_fields=["shape"],
+    meta_fields=["shape", "mip_shapes"],
 )
+
+
+def build_height_mips(heights: "np.ndarray", n_levels: int | None = None):
+    """Average-pooled height pyramid for distance-matched LOD sampling.
+
+    Poisoned texels stay poisoned (POISON_HEIGHT dominates any average),
+    which conservatively shrinks the valid region at coarse levels. Levels
+    stop when either dimension would fall below 4 texels.
+    """
+    mips = []
+    shapes = []
+    cur = heights
+    level = 0
+    while True:
+        h, w = cur.shape
+        if (n_levels is not None and level >= n_levels) or min(h, w) < 8:
+            break
+        h2, w2 = h // 2, w // 2
+        pooled = cur[: 2 * h2, : 2 * w2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+        pooled = np.maximum(pooled, np.float32(POISON_HEIGHT)).astype(np.float32)
+        # Re-poison anything touched by a poisoned texel.
+        pooled[pooled < 0.1 * POISON_HEIGHT] = POISON_HEIGHT
+        mips.append(pooled)
+        shapes.append((h2, w2))
+        cur = pooled
+        level += 1
+    return mips, shapes
 
 
 def build_mosaic(
@@ -280,10 +310,14 @@ def build_mosaic(
     center = corners.mean(axis=0)
     radius = float(np.linalg.norm(corners - center, axis=1).max()) * 1.001 + 1.0
 
+    mips, mip_shapes = build_height_mips(heights)
+
     return TerrainMosaic(
         heights_flat=jnp.asarray(heights.reshape(-1)),
         normals_packed_flat=jnp.asarray(normals_packed.reshape(-1)),
         shape=(h_m, w_m),
+        mip_heights_flat=tuple(jnp.asarray(m.reshape(-1)) for m in mips),
+        mip_shapes=tuple(mip_shapes),
         valid=jnp.asarray(valid),
         cell_tile=jnp.asarray(cell_tile),
         tile_rot=jnp.asarray(rotations),

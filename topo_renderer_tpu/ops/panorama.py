@@ -49,7 +49,12 @@ from topo_renderer_tpu.ops.postprocess import (
     distance_fog_soa,
     postprocess_soa,
 )
-from topo_renderer_tpu.ops.surface import raster_from_geo, sample_attributes_soa, sample_height
+from topo_renderer_tpu.ops.surface import (
+    raster_from_geo,
+    sample_attributes_nearest,
+    sample_attributes_soa,
+    sample_height_level,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,12 +71,29 @@ class PanoramaSpec:
     s_near: float = 5.0  # meters along the ground
     s_far: float = FAR
     n_refine: int = 2
+    # --- LOD / throughput knobs (gather count is the TPU cost driver) ----
+    lod: bool = False  # sample distance-matched height mips for the profile
+    lod_texel_m: float = 92.6  # base texel size hint (3 arcsec)
+    profile_stride: int = 1  # compute the profile on every k-th column
+    profile_nearest: bool = False  # nearest- instead of triangle-sampling
+    attrs_nearest: bool = False  # nearest-texel shading attributes
 
     def elevation_range(self) -> tuple[float, float]:
         if self.elev_min is not None and self.elev_max is not None:
             return (self.elev_min, self.elev_max)
         half = 0.5 * self.azimuth_span * self.height / self.width
         return (-half, half)
+
+    @staticmethod
+    def fast(width=2048, height=512, n_steps=512, **kw) -> "PanoramaSpec":
+        """Throughput preset: mip LOD + strided nearest profile + nearest
+        attributes, no per-pixel refinement (BASELINE configs 4/5)."""
+        kw.setdefault("lod", True)
+        kw.setdefault("profile_stride", 2)
+        kw.setdefault("profile_nearest", True)
+        kw.setdefault("attrs_nearest", True)
+        kw.setdefault("n_refine", 0)
+        return PanoramaSpec(width=width, height=height, n_steps=n_steps, **kw)
 
 
 def _eye_frame(eye):
@@ -88,7 +110,7 @@ def _eye_frame(eye):
     return a0, (ux, uy, uz), (ex, ey), (nx, ny, nz)
 
 
-def _surface_elevation(mosaic, a0, up, h_col, sig):
+def _surface_elevation(mosaic, a0, up, h_col, sig, level: int = 0, nearest: bool = False):
     """Elevation angle of the terrain surface along columns at angular ground
     distance ``sig`` (broadcastable against the column planes in ``h_col``).
 
@@ -105,10 +127,30 @@ def _surface_elevation(mosaic, a0, up, h_col, sig):
     lat = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
     lon = jnp.degrees(jnp.arctan2(sdy, sdx))
     gx, gy = raster_from_geo(mosaic, lon, lat)
-    h = sample_height(mosaic, gx, gy)
+    h = sample_height_level(mosaic, level, gx, gy, nearest=nearest)
     y = h * cs - a0 - 2.0 * R0 * jnp.sin(0.5 * sig) ** 2
     x = (R0 + h) * sn
-    return jnp.arctan2(y, x), (sdx, sdy, sdz), h, (x, y)
+    return jnp.arctan2(y, x)
+
+
+def _lod_segments(spec: PanoramaSpec, n_levels: int):
+    """Static per-step mip level from the log step schedule: level L once the
+    step length reaches ~2^L base texels. Returns [(level, k0, k1), ...]."""
+    import numpy as _np
+
+    k = _np.arange(spec.n_steps)
+    s = spec.s_near * (spec.s_far / spec.s_near) ** (k / (spec.n_steps - 1))
+    ds = s * (_np.log(spec.s_far / spec.s_near) / (spec.n_steps - 1))
+    level = _np.clip(
+        _np.floor(_np.log2(_np.maximum(ds / spec.lod_texel_m, 1e-6))) + 1, 0, n_levels
+    ).astype(int)
+    segments = []
+    k0 = 0
+    for i in range(1, spec.n_steps + 1):
+        if i == spec.n_steps or level[i] != level[k0]:
+            segments.append((int(level[k0]), k0, i))
+            k0 = i
+    return segments
 
 
 @partial(jax.jit, static_argnames=("spec", "quantize_rt", "apply_postprocess", "fog", "pixelize_n"))
@@ -156,8 +198,40 @@ def render_panorama(
     k = jnp.arange(N, dtype=jnp.float32)[:, None]  # [N, 1]
     sigma = sigma_of(k)  # [N, 1] broadcasts over W
 
-    h_col_b = tuple(c[None, :] for c in h_col)
-    e_prof, _, _, _ = _surface_elevation(mosaic, a0, up, h_col_b, sigma)  # [N, W]
+    # Profile columns (possibly strided: visibility varies smoothly with
+    # azimuth, so the fast preset computes the profile on every st-th column
+    # and reuses it for the group; shading attributes stay full resolution).
+    st = max(1, int(spec.profile_stride))
+    if st > 1:
+        if W % st:
+            raise ValueError("width must be divisible by profile_stride")
+        ws = W // st
+        phi_sub = spec.azimuth_start + jnp.float32(azimuth_offset) + spec.azimuth_span * (
+            (jnp.arange(ws, dtype=jnp.float32) + 0.5) / ws
+        )
+        cps, sps = jnp.cos(phi_sub), jnp.sin(phi_sub)
+        h_prof = (nx0 * cps + ex * sps, ny0 * cps + ey * sps, nz0 * cps)
+    else:
+        ws = W
+        h_prof = h_col
+    h_prof_b = tuple(c[None, :] for c in h_prof)
+
+    n_levels = len(mosaic.mip_shapes) if hasattr(mosaic, "mip_shapes") else 0
+    if spec.lod and n_levels:
+        parts = []
+        for level, k0, k1 in _lod_segments(spec, n_levels):
+            sig_seg = sigma[k0:k1]
+            parts.append(
+                _surface_elevation(
+                    mosaic, a0, up, h_prof_b, sig_seg,
+                    level=level, nearest=spec.profile_nearest,
+                )
+            )
+        e_prof = jnp.concatenate(parts, axis=0)  # [N, ws]
+    else:
+        e_prof = _surface_elevation(
+            mosaic, a0, up, h_prof_b, sigma, nearest=spec.profile_nearest
+        )
     m_prof = jax.lax.cummax(e_prof, axis=0)
 
     # Pixel elevation angles, row 0 at the top.
@@ -165,42 +239,28 @@ def render_panorama(
     rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
     e_pix = (jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo))[:, None]  # [H, 1]
 
-    # First-crossing search as a forward scan over profile chunks. A binary
-    # search (or XLA searchsorted) would cost O(log N) random gathers of
-    # [H, W] values — each such gather measures ~100x slower on TPU than the
-    # equivalent dense compare — so instead each profile step broadcasts
-    # against all pixel rows and the crossing state is carried densely.
-    # At the first k with M_k > e_pix the running max must have just risen,
-    # so theta_k == M_k; M_{k-1} comes from the shifted profile.
-    m_prev = jnp.concatenate(
-        [jnp.full((1, W), -1.0e30, jnp.float32), m_prof[:-1]], axis=0
-    )
-    CHUNK = 16
-    assert N % CHUNK == 0, "n_steps must be a multiple of 16"
+    # First-crossing search as three *fused global reductions*. Because the
+    # running max M is non-decreasing in k, the first k with M_k > e
+    # satisfies:   theta_hi = M_{k*} = min{M_k : M_k > e}
+    #              m_lo    = M_{k*-1} = max{M_k : M_k <= e}
+    #              k*      = #{k : M_k <= e}
+    # XLA fuses the [N, H, W] broadcast compare directly into the reductions
+    # (nothing is materialized). This replaces both a binary search (log N
+    # random gathers, ~85 ms each on TPU) and a sequential carry scan.
+    BIG = jnp.float32(3.0e38)
+    m3 = m_prof[:, None, :]  # [N, 1, ws]
+    e3 = e_pix[None, :, :]  # [1, H, 1]
+    le = m3 <= e3
+    kstar = jnp.sum(le, axis=0).astype(jnp.float32)  # [H, ws]
+    theta_hi = jnp.min(jnp.where(le, BIG, m3), axis=0)
+    m_lo = jnp.max(jnp.where(le, m3, -BIG), axis=0)
+    if st > 1:
+        kstar = jnp.repeat(kstar, st, axis=1)
+        theta_hi = jnp.repeat(theta_hi, st, axis=1)
+        m_lo = jnp.repeat(m_lo, st, axis=1)
 
-    def body(carry, i):
-        kf, th_c, mb_c = carry
-        base = i * CHUNK
-        m_chunk = jax.lax.dynamic_slice_in_dim(m_prof, base, CHUNK, 0)
-        p_chunk = jax.lax.dynamic_slice_in_dim(m_prev, base, CHUNK, 0)
-        for c in range(CHUNK):
-            m_k = m_chunk[c][None, :]
-            cross = (kf >= jnp.float32(N)) & (m_k > e_pix)
-            th_c = jnp.where(cross, m_k, th_c)
-            mb_c = jnp.where(cross, p_chunk[c][None, :], mb_c)
-            kf = jnp.where(cross, (base + c).astype(jnp.float32), kf)
-        return (kf, th_c, mb_c), None
-
-    init = (
-        jnp.full((H, W), jnp.float32(N)),
-        jnp.zeros((H, W), jnp.float32),
-        jnp.zeros((H, W), jnp.float32),
-    )
-    (kf, theta_hi, m_lo), _ = jax.lax.scan(
-        body, init, jnp.arange(N // CHUNK, dtype=jnp.int32)
-    )
-    hit = kf < jnp.float32(N)
-    kstar = jnp.clip(kf, 0.0, jnp.float32(N - 1))
+    hit = kstar < jnp.float32(N)
+    kstar = jnp.clip(kstar, 0.0, jnp.float32(N - 1))
 
     sig_hi = sigma_of(kstar)
     sig_lo = jnp.where(kstar > 0, sigma_of(jnp.maximum(kstar - 1.0, 0.0)), sigma_of(0.0))
@@ -219,7 +279,7 @@ def render_panorama(
         def refine(_, state):
             slo, shi = state
             mid = 0.5 * (slo + shi)
-            e_mid, _, _, _ = _surface_elevation(mosaic, a0, up, h_col_p, mid)
+            e_mid = _surface_elevation(mosaic, a0, up, h_col_p, mid)
             below = e_mid < e_pix
             return jnp.where(below, mid, slo), jnp.where(below, shi, mid)
 
@@ -238,7 +298,10 @@ def render_panorama(
     lat = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
     lon = jnp.degrees(jnp.arctan2(sdy, sdx))
     gx, gy = raster_from_geo(mosaic, lon, lat)
-    h_star, n_x, n_y, n_z, _ = sample_attributes_soa(mosaic, gx, gy)
+    if spec.attrs_nearest:
+        h_star, n_x, n_y, n_z, _ = sample_attributes_nearest(mosaic, gx, gy)
+    else:
+        h_star, n_x, n_y, n_z, _ = sample_attributes_soa(mosaic, gx, gy)
     h_star = jnp.maximum(h_star, -1e4)  # keep sky distances sane
 
     y_ip = h_star * cs - a0 - 2.0 * R0 * jnp.sin(0.5 * sig_star) ** 2

@@ -93,6 +93,69 @@ def sample_height(mosaic, gx, gy):
     return jnp.where(in_bounds, h, INVALID_HEIGHT)
 
 
+def sample_height_level(mosaic, level: int, gx, gy, nearest: bool = False):
+    """Height at raster coords from mip ``level`` (0 = triangle-exact base).
+
+    Level-L texel (i, j) averages base texels [2^L i, 2^L (i+1)); its center
+    sits at base coords 2^L i + (2^L - 1)/2. Coarse levels sample bilinearly
+    (the mip surface is an anti-aliased LOD, not the reference mesh) or by
+    nearest texel for the cheapest profile mode.
+    """
+    if level == 0 and not nearest:
+        return sample_height(mosaic, gx, gy)
+    if level == 0:
+        h0, w0 = mosaic.shape
+        ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, w0 - 1)
+        iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, h0 - 1)
+        in_b = (gx >= 0.0) & (gy >= 0.0) & (gx <= w0 - 1.0) & (gy <= h0 - 1.0)
+        h = jnp.take(mosaic.heights_flat, iy * w0 + ix)
+        return jnp.where(in_b, h, INVALID_HEIGHT)
+
+    flat = mosaic.mip_heights_flat[level - 1]
+    h_l, w_l = mosaic.mip_shapes[level - 1]
+    s = float(2**level)
+    off = (s - 1.0) / 2.0
+    gxl = (gx - off) / s
+    gyl = (gy - off) / s
+    in_b = (gxl >= -0.5) & (gyl >= -0.5) & (gxl <= w_l - 0.5) & (gyl <= h_l - 0.5)
+    if nearest:
+        ix = jnp.clip(jnp.round(gxl).astype(jnp.int32), 0, w_l - 1)
+        iy = jnp.clip(jnp.round(gyl).astype(jnp.int32), 0, h_l - 1)
+        h = jnp.take(flat, iy * w_l + ix)
+    else:
+        x0 = jnp.clip(jnp.floor(gxl).astype(jnp.int32), 0, w_l - 2)
+        y0 = jnp.clip(jnp.floor(gyl).astype(jnp.int32), 0, h_l - 2)
+        fx = jnp.clip(gxl - x0, 0.0, 1.0)
+        fy = jnp.clip(gyl - y0, 0.0, 1.0)
+        i = y0 * w_l + x0
+        a = jnp.take(flat, i)
+        b = jnp.take(flat, i + 1)
+        c = jnp.take(flat, i + w_l)
+        d = jnp.take(flat, i + w_l + 1)
+        h = (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+    return jnp.where(in_b, h, INVALID_HEIGHT)
+
+
+def sample_attributes_nearest(mosaic, gx, gy):
+    """Cheapest attribute fetch: nearest texel height + normal (2 gathers).
+
+    Used by the LOD/fast panorama preset; the exact path interpolates
+    triangle-exactly (`sample_attributes_soa`).
+    """
+    h0, w0 = mosaic.shape
+    ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, w0 - 1)
+    iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, h0 - 1)
+    in_b = (gx >= 0.0) & (gy >= 0.0) & (gx <= w0 - 1.0) & (gy <= h0 - 1.0)
+    idx = iy * w0 + ix
+    h = jnp.take(mosaic.heights_flat, idx)
+    p = jnp.take(mosaic.normals_packed_flat, idx)
+    nx = 2.0 * ((p & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
+    ny = 2.0 * (((p >> 10) & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
+    nz = 2.0 * (((p >> 20) & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
+    ok = in_b & (h > 0.5 * INVALID_HEIGHT)
+    return jnp.where(ok, h, INVALID_HEIGHT), nx, ny, nz, ok
+
+
 def sample_attributes_soa(mosaic, gx, gy):
     """Height + world-space normal planes at raster coords.
 
