@@ -34,7 +34,8 @@ def main():
 
     eye = eye_at(50.0, 20.0, 2800.0)
     sun = jnp.array([0.3, 0.5, 0.8], jnp.float32)
-    spec = PanoramaSpec(width=4096, height=1024, n_steps=1024, n_refine=2)
+    # LOD fast path: config 4 is the wide-area LOD vista mode (BASELINE.md).
+    spec = PanoramaSpec.fast(width=4096, height=1024, n_steps=512)
 
     def run():
         return render_panorama(mosaic, eye, spec, sun, fog="atmosphere")["color"]

@@ -5,9 +5,14 @@ the axon tunnel (which are slow and variable); real scenes pay that cost only
 once per tile load.
 """
 
+import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,7 +29,7 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
     )
 
     @jax.jit
-    def gen():
+    def gen_heights():
         ys = jnp.arange(n, dtype=jnp.float32)[:, None] / n
         xs = jnp.arange(n, dtype=jnp.float32)[None, :] / n
         h = jnp.full((n, n), 1500.0, jnp.float32)
@@ -32,21 +37,29 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
             h += (600.0 / k) * jnp.sin(12 * k * xs * jnp.pi + 0.3 * k) * jnp.cos(
                 12 * k * ys * jnp.pi + 1.1 * k
             )
+        return h
+
+    @jax.jit
+    def gen_normals(h):
         normals = compute_normals(h, (ps, ps), (0, 0), (lon_nw, lat_nw), quantize=True)
         world = jnp.einsum("ij,hwj->hwi", rot3, normals)
         enc = jnp.round(jnp.clip(0.5 * (world + 1.0), 0.0, 1.0) * 1023.0).astype(
             jnp.uint32
         )
-        packed = enc[..., 0] | (enc[..., 1] << 10) | (enc[..., 2] << 20)
-        mips = []
-        cur = h
-        while min(cur.shape) >= 8:
-            hh, ww = cur.shape[0] // 2, cur.shape[1] // 2
-            cur = cur[: 2 * hh, : 2 * ww].reshape(hh, 2, ww, 2).mean(axis=(1, 3))
-            mips.append(cur)
-        return h, packed, tuple(mips)
+        return enc[..., 0] | (enc[..., 1] << 10) | (enc[..., 2] << 20)
 
-    h, packed, mips = gen()
+    @jax.jit
+    def pool(cur):
+        hh, ww = cur.shape[0] // 2, cur.shape[1] // 2
+        return cur[: 2 * hh, : 2 * ww].reshape(hh, 2, ww, 2).mean(axis=(1, 3))
+
+    h = gen_heights()
+    packed = gen_normals(h)
+    mips = []
+    cur = h
+    while min(cur.shape) >= 8:
+        cur = pool(cur)
+        mips.append(cur)
     rot = rot3[None]
     lat_c = lat_nw - ps * n / 2
     lon_c = lon_nw + ps * n / 2
