@@ -179,7 +179,13 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, TiffInfo]:
     Matches the reference decode path: first image only, single sample per
     pixel, returns float32 for float sources and the native integer dtype
     otherwise (`background_runner.rs:135-136` uses DecodingResult::F32).
+
+    Uses the C++ fast path (`topo_renderer_tpu.native`) when available and
+    falls back to this module's pure-Python decoder transparently.
     """
+    native = _try_native(data)
+    if native is not None:
+        return native
     if len(data) < 8:
         raise TiffError("not a TIFF: too short")
     magic = data[:2]
@@ -268,6 +274,26 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, TiffInfo]:
     if dtype.kind == "f":
         out = out.astype(np.float32)
     return out, info
+
+
+def _try_native(data: bytes):
+    try:
+        from topo_renderer_tpu import native
+    except Exception:  # pragma: no cover
+        return None
+    result = native.tiff_decode(data)
+    if result is None:
+        return None
+    heights, meta = result
+    info = TiffInfo(
+        width=meta["width"],
+        height=meta["height"],
+        dtype=np.dtype(np.float32),
+        pixel_scale=meta["pixel_scale"],
+        tiepoint=meta["tiepoint"],
+        model_transformation=[0.0] if meta["has_model_transform"] else None,
+    )
+    return heights, info
 
 
 def write_geotiff(
