@@ -41,12 +41,14 @@ def main():
         return render_panorama(mosaic, eye, spec, sun, fog="atmosphere")["color"]
 
     jax.block_until_ready(run())  # compile
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run())
-        times.append(time.perf_counter() - t0)
-    ms = min(times) * 1e3
+    # Sustained throughput: enqueue a pipeline of frames and block once —
+    # the serving deployment model (per-call blocking measures tunnel
+    # round-trips, not the renderer).
+    reps = 20
+    t0 = time.perf_counter()
+    outs = [run() for _ in range(reps)]
+    jax.block_until_ready(outs)
+    ms = (time.perf_counter() - t0) / reps * 1e3
 
     print(
         json.dumps(

@@ -108,6 +108,8 @@ class TerrainMosaic:
 
     heights_flat: Any  # f32[Hm*Wm], POISON_HEIGHT outside valid tiles
     normals_packed_flat: Any  # u32[Hm*Wm]: world-space normal, 10b/channel
+    attr_packed_flat: Any  # f32[Hm*Wm, 2]: (height, bitcast(normal)) rows —
+    # one row gather fetches both shading attributes
     shape: tuple  # (Hm, Wm) — static
     mip_heights_flat: tuple  # per-level flat f32 height pyramids (level 1..)
     mip_shapes: tuple  # static shapes of the mip levels
@@ -142,6 +144,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "heights_flat",
         "normals_packed_flat",
+        "attr_packed_flat",
         "mip_heights_flat",
         "valid",
         "cell_tile",
@@ -311,10 +314,14 @@ def build_mosaic(
     radius = float(np.linalg.norm(corners - center, axis=1).max()) * 1.001 + 1.0
 
     mips, mip_shapes = build_height_mips(heights)
+    attr_packed = np.stack(
+        [heights.reshape(-1), normals_packed.reshape(-1).view(np.float32)], axis=-1
+    )
 
     return TerrainMosaic(
         heights_flat=jnp.asarray(heights.reshape(-1)),
         normals_packed_flat=jnp.asarray(normals_packed.reshape(-1)),
+        attr_packed_flat=jnp.asarray(attr_packed),
         shape=(h_m, w_m),
         mip_heights_flat=tuple(jnp.asarray(m.reshape(-1)) for m in mips),
         mip_shapes=tuple(mip_shapes),

@@ -35,22 +35,30 @@ def smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
+def _sum3_last(x):
+    """Edge-clamped 3-tap box sum along the last axis (lane shifts)."""
+    left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+    return left + x + right
+
+
+def _sum3_rows(x):
+    """Edge-clamped 3-tap box sum along the second-to-last axis."""
+    up = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    return up + x + down
+
+
 def _contour_mix(depth):
-    """smoothstep(0.05, 0.15, contour/center) factor, [..., H, W]."""
+    """smoothstep(0.05, 0.15, contour/center) factor, [..., H, W].
+
+    The 3x3 neighbor sum is separable (row pass then lane pass), which keeps
+    the whole pass in the depth buffer's native layout — a `jnp.pad`-based
+    formulation forced a full relayout copy of the padded buffer on TPU.
+    """
     lin = dist_from_depth(depth)
-    pad = [(0, 0)] * (lin.ndim - 2) + [(1, 1), (1, 1)]
-    lp = jnp.pad(lin, pad, mode="edge")
-    neighbor_sum = (
-        lp[..., 0:-2, 0:-2]
-        + lp[..., 0:-2, 1:-1]
-        + lp[..., 0:-2, 2:]
-        + lp[..., 1:-1, 0:-2]
-        + lp[..., 1:-1, 2:]
-        + lp[..., 2:, 0:-2]
-        + lp[..., 2:, 1:-1]
-        + lp[..., 2:, 2:]
-    )
-    contour = 8.0 * lin - neighbor_sum
+    total = _sum3_rows(_sum3_last(lin))  # includes the center tap
+    contour = 9.0 * lin - total
     return smoothstep(0.05, 0.15, contour / lin)
 
 

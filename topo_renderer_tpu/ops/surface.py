@@ -137,18 +137,22 @@ def sample_height_level(mosaic, level: int, gx, gy, nearest: bool = False):
 
 
 def sample_attributes_nearest(mosaic, gx, gy):
-    """Cheapest attribute fetch: nearest texel height + normal (2 gathers).
+    """Cheapest attribute fetch: nearest texel height + normal via ONE
+    row gather from the packed (height, normal-bits) table.
 
     Used by the LOD/fast panorama preset; the exact path interpolates
     triangle-exactly (`sample_attributes_soa`).
     """
+    import jax
+
     h0, w0 = mosaic.shape
     ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, w0 - 1)
     iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, h0 - 1)
     in_b = (gx >= 0.0) & (gy >= 0.0) & (gx <= w0 - 1.0) & (gy <= h0 - 1.0)
     idx = iy * w0 + ix
-    h = jnp.take(mosaic.heights_flat, idx)
-    p = jnp.take(mosaic.normals_packed_flat, idx)
+    rows = mosaic.attr_packed_flat[idx]  # [..., 2]
+    h = rows[..., 0]
+    p = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
     nx = 2.0 * ((p & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
     ny = 2.0 * (((p >> 10) & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
     nz = 2.0 * (((p >> 20) & 0x3FF).astype(jnp.float32) / 1023.0) - 1.0
