@@ -69,18 +69,25 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
         np.float32,
     )
     radius = np.float32(n * ps * 111_000.0)
-    attr_packed = jax.jit(
+    pack_attr = jax.jit(
         lambda hh, pp: jnp.stack(
             [hh.reshape(-1), jax.lax.bitcast_convert_type(pp.reshape(-1), jnp.float32)],
             axis=-1,
         )
-    )(h, packed)
+    )
+    attr_packed = pack_attr(h, packed)
+    # Synthetic probe shortcut: mip attrs carry an up-facing normal (perf
+    # probe only; the real builder recomputes per-level normals).
+    mip_attrs = [
+        pack_attr(m, jnp.broadcast_to(packed[0, 0], m.shape)) for m in mips
+    ]
     return TerrainMosaic(
         heights_flat=h.reshape(-1),
         normals_packed_flat=packed.reshape(-1),
         attr_packed_flat=attr_packed,
         shape=(n, n),
         mip_heights_flat=tuple(m.reshape(-1) for m in mips),
+        mip_attr_flat=tuple(mip_attrs),
         mip_shapes=tuple(m.shape for m in mips),
         valid=jnp.ones((n, n), bool),
         cell_tile=jnp.zeros((n, n), jnp.int32),

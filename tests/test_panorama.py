@@ -145,6 +145,28 @@ def test_fast_preset_close_to_exact():
     assert np.median(diff) < 0.05
 
 
+def test_clipmap_windows_match_full_tables():
+    """Forcing clipmap windows (threshold 0) must reproduce the unwindowed
+    LOD render exactly — the windows provably cover every sampled texel."""
+    import dataclasses as dc
+
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=500.0)
+    kw = dict(width=128, height=64, elev_min=-0.3, elev_max=0.1,
+              s_near=5.0, s_far=40_000.0, n_steps=256)
+    full = PanoramaSpec.fast(clipmap=False, **kw)
+    windowed = dc.replace(PanoramaSpec.fast(**kw), clipmap_threshold=0)
+    sun = np.asarray(cam.sun_angle.to_vec3())
+    a = render_panorama(mosaic, cam.eye, full, sun, quantize_rt=False, apply_postprocess=False)
+    b = render_panorama(mosaic, cam.eye, windowed, sun, quantize_rt=False, apply_postprocess=False)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(
+        np.asarray(a["color"]), np.asarray(b["color"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["distance"]), np.asarray(b["distance"]), rtol=1e-5
+    )
+
+
 def test_panorama_fog_modes():
     mosaic, cam, _ = small_scene(n=33, span_deg=0.03, height_above=300.0)
     spec = PanoramaSpec(width=32, height=16, n_steps=128, n_refine=2)

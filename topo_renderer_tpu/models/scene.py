@@ -112,6 +112,7 @@ class TerrainMosaic:
     # one row gather fetches both shading attributes
     shape: tuple  # (Hm, Wm) — static
     mip_heights_flat: tuple  # per-level flat f32 height pyramids (level 1..)
+    mip_attr_flat: tuple  # per-level packed (height, normal) rows (level 1..)
     mip_shapes: tuple  # static shapes of the mip levels
     valid: Any  # bool[Hm, Wm] (host convenience; not used in hot loops)
     cell_tile: Any  # int32[Hm, Wm]; index into tile tables for the cell whose
@@ -146,6 +147,7 @@ jax.tree_util.register_dataclass(
         "normals_packed_flat",
         "attr_packed_flat",
         "mip_heights_flat",
+        "mip_attr_flat",
         "valid",
         "cell_tile",
         "tile_rot",
@@ -318,12 +320,46 @@ def build_mosaic(
         [heights.reshape(-1), normals_packed.reshape(-1).view(np.float32)], axis=-1
     )
 
+    # Per-level attribute tables: normals recomputed from the pooled heights
+    # at the level's texel spacing (proper LOD shading), rotated by the
+    # (downsampled) owning tile and packed beside the pooled height.
+    mip_attrs = []
+    for level, (mh, (h_l, w_l)) in enumerate(zip(mips, mip_shapes), start=1):
+        s = float(2**level)
+        off = (s - 1.0) / 2.0
+        mp_l = (lon_nw + ps_x * off, lat_nw - ps_y * off)
+        v_l = mh > 0.5 * POISON_HEIGHT
+        n_l = np.asarray(
+            compute_normals(
+                np.where(v_l, mh, 0.0).astype(np.float32),
+                (ps_x * s, ps_y * s),
+                raster_point=(0.0, 0.0),
+                model_point=mp_l,
+                valid=v_l,
+                quantize=quantize_normals,
+                correct_axes=correct_axes,
+            )
+        )
+        owner_l = owner[:: 2**level, :: 2**level][:h_l, :w_l]
+        nw_l = np.empty_like(n_l)
+        for idx in range(len(tiles)):
+            mask = owner_l == idx
+            if mask.any():
+                nw_l[mask] = n_l[mask] @ rotations[idx].T
+        packed_l = pack_normals(nw_l)
+        mip_attrs.append(
+            np.stack(
+                [mh.reshape(-1), packed_l.reshape(-1).view(np.float32)], axis=-1
+            )
+        )
+
     return TerrainMosaic(
         heights_flat=jnp.asarray(heights.reshape(-1)),
         normals_packed_flat=jnp.asarray(normals_packed.reshape(-1)),
         attr_packed_flat=jnp.asarray(attr_packed),
         shape=(h_m, w_m),
         mip_heights_flat=tuple(jnp.asarray(m.reshape(-1)) for m in mips),
+        mip_attr_flat=tuple(jnp.asarray(a) for a in mip_attrs),
         mip_shapes=tuple(mip_shapes),
         valid=jnp.asarray(valid),
         cell_tile=jnp.asarray(cell_tile),
