@@ -81,6 +81,11 @@ class PanoramaSpec:
     attrs_from_profile: bool = False  # shade from per-sample attrs (needs lod)
     clipmap: bool = False  # gather from eye-centered windows, not full tables
     clipmap_threshold: int = 4_000_000  # window only tables above this size
+    # Fused Pallas crossing kernel (ops/pallas_crossing.py): bit-identical
+    # output, but XLA's fused reductions currently edge it out end-to-end
+    # (~20 vs ~21 ms at 4096x1024), so it is opt-in. It is the seed of a
+    # future fully-fused march kernel (profile sampling + crossing in VMEM).
+    use_pallas: bool = False
 
     def elevation_range(self) -> tuple[float, float]:
         if self.elev_min is not None and self.elev_max is not None:
@@ -342,33 +347,52 @@ def render_panorama(
     # XLA fuses the [N, H, W] broadcast compare directly into the reductions
     # (nothing is materialized). This replaces both a binary search (log N
     # random gathers, ~85 ms each on TPU) and a sequential carry scan.
-    BIG = jnp.float32(3.0e38)
-    m3 = m_prof[:, None, :]  # [N, 1, ws]
-    e3 = e_pix[None, :, :]  # [1, H, 1]
-    le = m3 <= e3
-    theta_hi = jnp.min(jnp.where(le, BIG, m3), axis=0)
-    m_lo = jnp.max(jnp.where(le, m3, -BIG), axis=0)
-
-    # Per-pixel shading normals straight from the hit profile sample, as two
-    # more fused reductions: key = k * 2^15 + payload15 over the tail
-    # {k : M_k > e}. k* is unique, so the min lands exactly on the first
-    # occluding sample and its 15-bit payload rides along exactly (keys stay
-    # below 2^24, f32-exact; k* itself falls out of the key). This replaces
-    # two take_along_axis ops (~21 ms each on TPU) with dense reduce passes.
     n_payload = None
-    if use_attr_prof:
-        if N > 16384:
-            raise ValueError("attrs_from_profile supports n_steps <= 16384")
-        BIGKEY = jnp.float32(16777216.0)  # 2^24 -> decodes to k = 16384 (sky)
-        kk = (jnp.arange(N, dtype=jnp.float32) * 1024.0)[:, None, None]
-        picks = [
-            jnp.min(jnp.where(le, BIGKEY, kk + comp[:, None, :]), axis=0)
-            for comp in attr_prof
-        ]
-        kstar = jnp.floor(picks[0] / 1024.0)  # exact; 16384 where sky
-        n_payload = tuple(p - jnp.floor(p / 1024.0) * 1024.0 for p in picks)
+    e_lo_v, e_hi_v = spec.elevation_range()
+    de_pix = (e_hi_v - e_lo_v) / H
+    use_pallas_kernel = False
+    if use_attr_prof and spec.use_pallas:
+        from topo_renderer_tpu.ops.pallas_crossing import (
+            LANES,
+            crossing_search_pallas,
+            pallas_available,
+        )
+
+        use_pallas_kernel = (ws % LANES == 0) and pallas_available()
+
+    if use_pallas_kernel:
+        kstar, theta_hi, m_lo, p0, p1, p2 = crossing_search_pallas(
+            e_prof, attr_prof[0], attr_prof[1], attr_prof[2],
+            e_hi_v, de_pix, height=H,
+        )
+        n_payload = (p0, p1, p2)
     else:
-        kstar = jnp.sum(le, axis=0).astype(jnp.float32)  # [H, ws]
+        BIG = jnp.float32(3.0e38)
+        m3 = m_prof[:, None, :]  # [N, 1, ws]
+        e3 = e_pix[None, :, :]  # [1, H, 1]
+        le = m3 <= e3
+        theta_hi = jnp.min(jnp.where(le, BIG, m3), axis=0)
+        m_lo = jnp.max(jnp.where(le, m3, -BIG), axis=0)
+
+        # Per-pixel shading normals straight from the hit profile sample via
+        # packed-key reductions: key = k * 2^10 + payload10 over the tail
+        # {k : M_k > e}. k* is unique, so the min lands exactly on the first
+        # occluding sample and its payload rides along exactly (keys stay
+        # below 2^24, f32-exact; k* itself falls out of the key). This
+        # replaces two take_along_axis ops (~21 ms each on TPU).
+        if use_attr_prof:
+            if N > 16384:
+                raise ValueError("attrs_from_profile supports n_steps <= 16384")
+            BIGKEY = jnp.float32(16777216.0)  # 2^24 -> k = 16384 (sky)
+            kk = (jnp.arange(N, dtype=jnp.float32) * 1024.0)[:, None, None]
+            picks = [
+                jnp.min(jnp.where(le, BIGKEY, kk + comp[:, None, :]), axis=0)
+                for comp in attr_prof
+            ]
+            kstar = jnp.floor(picks[0] / 1024.0)  # exact; 16384 where sky
+            n_payload = tuple(p - jnp.floor(p / 1024.0) * 1024.0 for p in picks)
+        else:
+            kstar = jnp.sum(le, axis=0).astype(jnp.float32)  # [H, ws]
 
     if st > 1:
         kstar = jnp.repeat(kstar, st, axis=1)
