@@ -30,15 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _kernel(e_hi_ref, de_ref, e_prof_ref, a0_ref, a1_ref, a2_ref,
+def _kernel(thresh_ref, e_prof_ref, a0_ref, a1_ref, a2_ref,
             kstar_ref, theta_ref, mlo_ref, n0_ref, n1_ref, n2_ref):
     n_steps = e_prof_ref.shape[0]
     h = kstar_ref.shape[0]
 
-    e_hi = e_hi_ref[0]
-    de = de_ref[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, LANES), 0).astype(jnp.float32)
-    e_pix = e_hi - (row + 0.5) * de  # [H, 128]
+    e_pix = thresh_ref[:]  # [H, 128] per-row visibility thresholds
 
     # Initialize state: "sky" defaults.
     kstar_ref[:] = jnp.full((h, LANES), jnp.float32(n_steps))
@@ -66,15 +63,16 @@ def _kernel(e_hi_ref, de_ref, e_prof_ref, a0_ref, a1_ref, a2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("height",))
-def crossing_search_pallas(e_prof, a0, a1, a2, e_hi, de, *, height: int):
+def crossing_search_pallas(e_prof, a0, a1, a2, thresh, *, height: int):
     """Run the fused crossing kernel.
 
     Args:
-      e_prof: ``f32[N, W]`` elevation profile (NOT cummaxed; the kernel
-        carries the running max itself). W must be a multiple of 128.
+      e_prof: ``f32[N, W]`` visibility profile — any monotone function of
+        elevation (angle or tan ratio; NOT cummaxed, the kernel carries the
+        running max itself). W must be a multiple of 128.
       a0/a1/a2: ``f32[N, W]`` attribute payload planes.
-      e_hi / de: scalars of the affine pixel-row angle map
-        ``e_pix(r) = e_hi - (r + 0.5) * de``.
+      thresh: ``f32[H, W]`` per-pixel visibility thresholds in the same
+        monotone scale as ``e_prof`` (usually a broadcast [H, 1] column).
       height: number of pixel rows.
 
     Returns (kstar, theta_hi, m_lo, n0, n1, n2), each ``f32[H, W]``.
@@ -91,21 +89,13 @@ def crossing_search_pallas(e_prof, a0, a1, a2, e_hi, de, *, height: int):
         return pl.BlockSpec((height, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     out_shape = [jax.ShapeDtypeStruct((height, w), jnp.float32)] * 6
-    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         _kernel,
         grid=grid,
-        in_specs=[scalar, scalar, col_spec(), col_spec(), col_spec(), col_spec()],
+        in_specs=[out_spec(), col_spec(), col_spec(), col_spec(), col_spec()],
         out_specs=[out_spec()] * 6,
         out_shape=out_shape,
-    )(
-        jnp.reshape(jnp.float32(e_hi), (1,)),
-        jnp.reshape(jnp.float32(de), (1,)),
-        e_prof,
-        a0,
-        a1,
-        a2,
-    )
+    )(thresh, e_prof, a0, a1, a2)
     return tuple(outs)
 
 
@@ -119,7 +109,8 @@ def pallas_available() -> bool:
     try:
         e = jnp.zeros((8, LANES), jnp.float32)
         a = jnp.zeros((8, LANES), jnp.float32)
-        out = crossing_search_pallas(e, a, a, a, 0.5, 0.01, height=8)
+        th = jnp.zeros((8, LANES), jnp.float32)
+        out = crossing_search_pallas(e, a, a, a, th, height=8)
         jax.block_until_ready(out)
         _AVAILABLE = True
     except Exception:

@@ -305,15 +305,13 @@ def render_panorama(
             iy = jnp.round(ly).astype(jnp.int32)
             ok = (ix >= 0) & (ix <= tw - 1) & (iy >= 0) & (iy <= th_ - 1)
             idx = jnp.clip(iy, 0, th_ - 1) * tw + jnp.clip(ix, 0, tw - 1)
-            h = jnp.where(ok, jnp.take(tbl_h, idx), INVALID_HEIGHT)
-            y = h * cs - a0 - 2.0 * R0 * sh2
-            x = (R0 + h) * sn
-            parts_e.append(jnp.arctan2(y, x))
             if use_attr_prof:
+                # One row gather serves both the height (for the visibility
+                # ratio) and the packed normal payloads — halving the
+                # dominant per-sample gather cost.
                 rows = tbl_a[idx]
+                h = rows[..., 0]
                 bits = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
-                # Split the packed normal into three 10-bit payloads small
-                # enough to ride exactly inside f32 reduce keys (k*1024+p).
                 parts_attr.append(
                     tuple(
                         jnp.where(
@@ -322,6 +320,15 @@ def render_panorama(
                         for s in (0, 10, 20)
                     )
                 )
+            else:
+                h = jnp.take(tbl_h, idx)
+            ok = ok & (h > 0.5 * INVALID_HEIGHT)
+            y = h * cs - a0 - 2.0 * R0 * sh2
+            x = (R0 + h) * sn
+            # Work in ratio space: visibility ordering only needs a monotone
+            # function of elevation, and y/x == tan(e) (x > 0 along the
+            # march) — this removes one transcendental per profile sample.
+            parts_e.append(jnp.where(ok, y / x, jnp.float32(-1.0e30)))
         e_prof = jnp.concatenate(parts_e, axis=0)  # [N, ws]
         if use_attr_prof:
             attr_prof = tuple(
@@ -334,10 +341,14 @@ def render_panorama(
         )
     m_prof = jax.lax.cummax(e_prof, axis=0)
 
-    # Pixel elevation angles, row 0 at the top.
+    # Pixel elevation angles, row 0 at the top. The LOD profile stores
+    # tan(e) ratios, so its per-row thresholds are tan(e_pix).
+    ratio_space = bool(spec.lod and n_levels)
     e_lo, e_hi = spec.elevation_range()
     rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
     e_pix = (jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo))[:, None]  # [H, 1]
+    t_pix = jnp.tan(e_pix)
+    thresh = t_pix if ratio_space else e_pix
 
     # First-crossing search as three *fused global reductions*. Because the
     # running max M is non-decreasing in k, the first k with M_k > e
@@ -348,8 +359,6 @@ def render_panorama(
     # (nothing is materialized). This replaces both a binary search (log N
     # random gathers, ~85 ms each on TPU) and a sequential carry scan.
     n_payload = None
-    e_lo_v, e_hi_v = spec.elevation_range()
-    de_pix = (e_hi_v - e_lo_v) / H
     use_pallas_kernel = False
     if use_attr_prof and spec.use_pallas:
         from topo_renderer_tpu.ops.pallas_crossing import (
@@ -363,13 +372,13 @@ def render_panorama(
     if use_pallas_kernel:
         kstar, theta_hi, m_lo, p0, p1, p2 = crossing_search_pallas(
             e_prof, attr_prof[0], attr_prof[1], attr_prof[2],
-            e_hi_v, de_pix, height=H,
+            jnp.broadcast_to(thresh, (H, ws)), height=H,
         )
         n_payload = (p0, p1, p2)
     else:
         BIG = jnp.float32(3.0e38)
         m3 = m_prof[:, None, :]  # [N, 1, ws]
-        e3 = e_pix[None, :, :]  # [1, H, 1]
+        e3 = thresh[None, :, :]  # [1, H, 1]
         le = m3 <= e3
         theta_hi = jnp.min(jnp.where(le, BIG, m3), axis=0)
         m_lo = jnp.max(jnp.where(le, m3, -BIG), axis=0)
@@ -409,7 +418,7 @@ def render_panorama(
 
     denom = theta_hi - m_lo
     tfrac = jnp.clip(
-        (e_pix - m_lo) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom), 0.0, 1.0
+        (thresh - m_lo) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom), 0.0, 1.0
     )
     tfrac = jnp.where(kstar > 0, tfrac, 0.0)
     sig_star = sig_lo + tfrac * (sig_hi - sig_lo)
@@ -440,7 +449,7 @@ def render_panorama(
     if use_attr_prof:
         # Analytic hit height: the crossing lies on the pixel ray at ground
         # angle sig*, so h satisfies  h cos - a0 - 2 R0 sin^2(s/2) = tan(e) x.
-        tanp = jnp.tan(e_pix)
+        tanp = t_pix
         sh2s = jnp.sin(0.5 * sig_star) ** 2
         h_star = (a0 + 2.0 * R0 * sh2s + tanp * R0 * sn) / (cs - tanp * sn)
         n_x = 2.0 * (n_payload[0] / 1023.0) - 1.0
