@@ -188,6 +188,34 @@ def build_height_mips(heights: "np.ndarray", n_levels: int | None = None):
     return mips, shapes
 
 
+def _resample_tile_lon(tile: TerrainTile, ps_fine: float, lon_anchor: float) -> TerrainTile:
+    """Linearly resample a tile's rows onto the mosaic's fine longitude
+    lattice (anchored at ``lon_anchor``) so COP-90 latitude bands with wider
+    longitude spacing stitch into one uniform grid."""
+    t = tile.transform
+    ps_c = t.pixel_scale[0]
+    lon0, lat0 = t.to_model((0.0, 0.0))
+    lon_last = lon0 + ps_c * (tile.heights.shape[1] - 1)
+    k0 = int(np.ceil((lon0 - lon_anchor) / ps_fine - 1e-6))
+    k1 = int(np.floor((lon_last - lon_anchor) / ps_fine + 1e-6))
+    lons = lon_anchor + ps_fine * np.arange(k0, k1 + 1)
+    coarse_coords = (lons - lon0) / ps_c  # fractional coarse columns
+    i0 = np.clip(np.floor(coarse_coords).astype(int), 0, tile.heights.shape[1] - 2)
+    frac = (coarse_coords - i0).astype(np.float32)
+    resampled = (
+        tile.heights[:, i0] * (1.0 - frac) + tile.heights[:, i0 + 1] * frac
+    ).astype(np.float32)
+    return TerrainTile(
+        location=tile.location,
+        heights=resampled,
+        transform=CoordinateTransform(
+            raster_point=(0.0, 0.0),
+            model_point=(float(lons[0]), float(lat0)),
+            pixel_scale=(float(ps_fine), float(t.pixel_scale[1])),
+        ),
+    )
+
+
 def build_mosaic(
     tiles: Sequence[TerrainTile],
     quantize_normals: bool = True,
@@ -204,30 +232,42 @@ def build_mosaic(
     if not tiles:
         raise ValueError("build_mosaic needs at least one tile")
 
-    ps_x = tiles[0].transform.pixel_scale[0]
+    # COP-90's longitude spacing widens in latitude bands (4.5" above 50°N,
+    # 6" above 60°N, ...); latitude spacing is always 3". Mosaics are built
+    # on the finest longitude grid present: coarser tiles are linearly
+    # resampled along their rows onto that lattice. (The reference renders
+    # each tile on its own grid — per-band shading differences from the
+    # resample are sub-texel.)
     ps_y = tiles[0].transform.pixel_scale[1]
     for t in tiles:
-        if not np.allclose(
-            t.transform.pixel_scale, (ps_x, ps_y), rtol=1e-5
-        ):
-            raise ValueError(
-                "mixed pixel scales in one mosaic are not supported yet; "
-                f"got {t.transform.pixel_scale} vs {(ps_x, ps_y)}"
-            )
+        if not np.isclose(t.transform.pixel_scale[1], ps_y, rtol=1e-5):
+            raise ValueError("mixed latitude pixel scales are not supported")
+    ps_x = min(t.transform.pixel_scale[0] for t in tiles)
+
+    lon_nw = min(t.transform.to_model((0.0, 0.0))[0] for t in tiles)
+    lat_nw = max(t.transform.to_model((0.0, 0.0))[1] for t in tiles)
+
+    native_res = [
+        bool(np.isclose(t.transform.pixel_scale[0], ps_x, rtol=1e-5)) for t in tiles
+    ]
+    tiles = [
+        t if native else _resample_tile_lon(t, ps_x, lon_nw)
+        for t, native in zip(tiles, native_res)
+    ]
 
     # Texel (0,0) of tile t sits at model coords to_model((0,0)).
     origins = []
     for t in tiles:
         lon0, lat0 = t.transform.to_model((0.0, 0.0))
         origins.append((lon0, lat0))
-    lon_nw = min(o[0] for o in origins)
-    lat_nw = max(o[1] for o in origins)
 
     offsets = []
     for (lon0, lat0), t in zip(origins, tiles):
         ox = round((lon0 - lon_nw) / ps_x)
         oy = round((lat_nw - lat0) / ps_y)
-        if abs((lon0 - lon_nw) / ps_x - ox) > 1e-3 or abs((lat_nw - lat0) / ps_y - oy) > 1e-3:
+        # Tolerance covers f32 tiepoint rounding (~2e-6 deg) at any realistic
+        # pixel scale while still rejecting genuinely misaligned grids.
+        if abs((lon0 - lon_nw) / ps_x - ox) > 0.02 or abs((lat_nw - lat0) / ps_y - oy) > 0.02:
             raise ValueError("tile grids are not aligned to a common raster")
         offsets.append((ox, oy))
 
@@ -239,8 +279,12 @@ def build_mosaic(
     cell_tile = np.full((h_m, w_m), -1, np.int32)
     rotations = np.zeros((len(tiles), 3, 3), np.float32)
 
-    # Deterministic order: sorted by location (the reference's BTreeMap order)
-    order = sorted(range(len(tiles)), key=lambda i: tiles[i].location)
+    # Deterministic order: resampled (originally coarser) tiles first so
+    # native-resolution data wins shared seam texels, then the reference's
+    # BTreeMap location order.
+    order = sorted(
+        range(len(tiles)), key=lambda i: (1 if native_res[i] else 0, tiles[i].location)
+    )
     for idx in order:
         t = tiles[idx]
         ox, oy = offsets[idx]
