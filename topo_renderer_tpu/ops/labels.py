@@ -81,7 +81,9 @@ def peak_visibility(
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def peak_visibility_panorama(positions, valid, eye, spec, depth, azimuth_offset=0.0):
+def peak_visibility_panorama(
+    positions, valid, eye, spec, depth, azimuth_offset=0.0, elev_offset=0.0
+):
     """Panorama-space variant (TPU-native extension — the reference has no
     panorama mode): peaks project via azimuth/elevation, occlusion compares
     metric distance against the panorama depth buffer with the same 10 m
@@ -114,7 +116,7 @@ def peak_visibility_panorama(positions, valid, eye, spec, depth, azimuth_offset=
     rel = (azimuth - spec.azimuth_start - jnp.float32(azimuth_offset)) % (2.0 * jnp.pi)
     u = rel / spec.azimuth_span
     e_lo, e_hi = spec.elevation_range()
-    v = (jnp.float32(e_hi) - elev) / jnp.float32(e_hi - e_lo)
+    v = (jnp.float32(elev_offset) + jnp.float32(e_hi) - elev) / jnp.float32(e_hi - e_lo)
 
     x = (u * W).astype(jnp.int32)
     y = (v * H).astype(jnp.int32)

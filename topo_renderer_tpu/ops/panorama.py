@@ -179,6 +179,7 @@ def render_panorama(
     fog: str | None = None,
     fog_density: float = 1.0 / 80_000.0,
     azimuth_offset=0.0,
+    elev_offset=0.0,
     pixel_offset_x=0.0,
 ):
     """Render a cylindrical panorama around ``eye``.
@@ -346,7 +347,9 @@ def render_panorama(
     ratio_space = bool(spec.lod and n_levels)
     e_lo, e_hi = spec.elevation_range()
     rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-    e_pix = (jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo))[:, None]  # [H, 1]
+    e_pix = (
+        jnp.float32(elev_offset) + jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo)
+    )[:, None]  # [H, 1]
     t_pix = jnp.tan(e_pix)
     thresh = t_pix if ratio_space else e_pix
 

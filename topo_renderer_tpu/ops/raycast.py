@@ -171,6 +171,156 @@ def march(mosaic, eye, dirs, *, n_steps: int, n_refine: int):
 @partial(
     jax.jit,
     static_argnames=(
+        "width", "height", "supersample", "n_steps", "pixelize_n", "fov_hint",
+    ),
+)
+def render_perspective_fast(
+    mosaic,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    supersample: float = 1.25,
+    n_steps: int = 384,
+    pixelize_n=None,
+    fov_hint: float = 0.7853981633974483,  # 45 deg
+):
+    """Interactive-rate perspective rendering via the panorama engine.
+
+    A perspective image is a field of rays from the eye; so is a cylindrical
+    panorama section. This renders the frustum's azimuth/elevation window
+    with the fast column-marcher (`ops/panorama.py` — LOD clipmap path, ~ms)
+    and warps it onto the perspective pixel grid by per-pixel ray direction
+    — geometrically exact up to the panorama's angular resolution
+    (``supersample`` x the pixel density). This is the TPU answer to the
+    reference's interactive render loop; `render_perspective` remains the
+    triangle-exact parity renderer.
+
+    The angular window is sized statically from ``fov_hint`` (an upper bound
+    on the camera fov; quantize it to a few buckets to limit recompiles) and
+    *centered* on the camera's traced view direction, so yaw/pitch motion
+    never recompiles.
+    """
+    from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
+
+    (dx, dy, dz), fwd = camera_rays(camera, width, height)
+    eye = jnp.asarray(camera.eye, jnp.float32)
+
+    # Eye-local az/el of every pixel ray.
+    e_norm = jnp.linalg.norm(eye)
+    ux, uy, uz = eye[0] / e_norm, eye[1] / e_norm, eye[2] / e_norm
+    lon0 = jnp.arctan2(eye[1], eye[0])
+    lat0 = jnp.arcsin(jnp.clip(eye[2] / e_norm, -1.0, 1.0))
+    ex_, ey_ = -jnp.sin(lon0), jnp.cos(lon0)
+    nx0 = -jnp.sin(lat0) * jnp.cos(lon0)
+    ny0 = -jnp.sin(lat0) * jnp.sin(lon0)
+    nz0 = jnp.cos(lat0)
+    d_e = dx * ex_ + dy * ey_
+    d_n = dx * nx0 + dy * ny0 + dz * nz0
+    d_u = dx * ux + dy * uy + dz * uz
+    az = jnp.arctan2(d_e, d_n)  # [H, W], 0 = north
+    el = jnp.arcsin(jnp.clip(d_u, -1.0, 1.0))
+
+    # Static angular window from the fov bound (diagonal half-angle + margin).
+    import math as _m
+
+    half_diag = min(
+        _m.atan(_m.tan(0.5 * float(fov_hint)) * _m.sqrt(1.0 + (width / height) ** 2)),
+        0.49 * _m.pi,
+    )
+    half_win = min(1.03 * half_diag + 0.01, 0.49 * _m.pi)
+    az_span = min(2.0 * _m.pi, 2.0 * half_win / max(_m.cos(half_win), 0.3))
+
+    px_per_rad = supersample * height / float(fov_hint)
+    wp = max(256, min(int(_m.ceil(az_span * px_per_rad / 256.0)) * 256, 8192))
+    hp = max(64, min(int(_m.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
+
+    # Traced window center: the view direction's az/el.
+    az_c = jnp.arctan2(
+        fwd[0] * ex_ + fwd[1] * ey_,
+        fwd[0] * nx0 + fwd[1] * ny0 + fwd[2] * nz0,
+    )
+    el_c = jnp.arcsin(
+        jnp.clip(fwd[0] * ux + fwd[1] * uy + fwd[2] * uz, -1.0, 1.0)
+    )
+    spec = PanoramaSpec.fast(
+        width=wp, height=hp, n_steps=n_steps,
+        azimuth_start=-0.5 * az_span, azimuth_span=az_span,
+        elev_min=-half_win, elev_max=half_win,
+    )
+    sun = camera.sun_angle.to_vec3()
+    view_mode = jnp.int32(int(camera.view_mode))
+    pano = render_panorama(
+        mosaic, eye, spec, sun, view_mode=view_mode,
+        quantize_rt=False, apply_postprocess=False,
+        azimuth_offset=az_c, elev_offset=el_c,
+    )
+
+    # Warp pano -> perspective grid by ray direction. Bilinear taps are the
+    # cost driver (TPU gathers are per-element); pack (10-bit RGB, distance)
+    # plus their x-neighbors into 4-wide rows so each pixel needs only two
+    # row gathers (top and bottom tap pairs) instead of 16 scalar gathers.
+    rel_az = (az - az_c + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+    gx = (rel_az + 0.5 * az_span) / az_span * wp - 0.5
+    gy = (jnp.float32(half_win) - (el - el_c)) / jnp.float32(2.0 * half_win) * hp - 0.5
+
+    color = pano["color"]
+    enc = jnp.round(jnp.clip(color, 0.0, 1.0) * 1023.0).astype(jnp.uint32)
+    packed_rgb = jax.lax.bitcast_convert_type(
+        enc[..., 0] | (enc[..., 1] << 10) | (enc[..., 2] << 20), jnp.float32
+    )
+    dist_p = pano["distance"]
+    shift = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    quad = jnp.stack(
+        [packed_rgb, dist_p, shift(packed_rgb), shift(dist_p)], axis=-1
+    ).reshape(-1, 4)
+
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, wp - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, hp - 2)
+    fx = jnp.clip(gx - x0, 0.0, 1.0)
+    fy = jnp.clip(gy - y0, 0.0, 1.0)
+    idx = y0 * wp + x0
+    top = quad[idx]
+    bot = quad[idx + wp]
+
+    def unpack_rgb(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return tuple(
+            ((bits >> s) & 0x3FF).astype(jnp.float32) / 1023.0 for s in (0, 10, 20)
+        )
+
+    c00, c01 = unpack_rgb(top[..., 0]), unpack_rgb(top[..., 2])
+    c10, c11 = unpack_rgb(bot[..., 0]), unpack_rgb(bot[..., 2])
+    chans = tuple(
+        (c00[i] * (1 - fx) + c01[i] * fx) * (1 - fy)
+        + (c10[i] * (1 - fx) + c11[i] * fx) * fy
+        for i in range(3)
+    )
+    dist = (top[..., 1] * (1 - fx) + top[..., 3] * fx) * (1 - fy) + (
+        bot[..., 1] * (1 - fx) + bot[..., 3] * fx
+    ) * fy
+    hit = dist < 0.98 * FAR  # sky carries FAR distance
+
+    # Reference-convention depth for the label pass: convert ray distance to
+    # view-axis distance, then to ndc depth.
+    cosf = dx * fwd[0] + dy * fwd[1] + dz * fwd[2]
+    from topo_renderer_tpu.models.camera import depth_from_dist
+
+    depth = jnp.where(hit, depth_from_dist(jnp.clip(dist * cosf, NEAR, FAR)), 1.0)
+
+    chans = tuple(shd.quantize_srgb8(c) for c in chans)
+    chans = postprocess_soa(chans, depth, pixelize_n=pixelize_n)
+    return {
+        "color": jnp.stack(chans, axis=-1),
+        "depth": depth,
+        "distance": jnp.where(hit, dist, FAR),
+        "hit": hit,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "width",
         "height",
         "n_steps",

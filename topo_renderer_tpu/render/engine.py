@@ -35,7 +35,9 @@ from topo_renderer_tpu.models.uniforms import PeakInstance
 from topo_renderer_tpu.ops import shading
 from topo_renderer_tpu.ops.labels import peak_visibility, peak_visibility_panorama
 from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
-from topo_renderer_tpu.ops.raycast import render_perspective
+from topo_renderer_tpu.ops.raycast import render_perspective, render_perspective_fast
+
+_FOV_BUCKETS_DEG = (30.0, 45.0, 60.0, 90.0, 120.0, 160.0)
 from topo_renderer_tpu.render import text as text_mod
 from topo_renderer_tpu.render.overlay import composite_labels
 
@@ -135,19 +137,42 @@ class RenderEngine:
         pixelize_n=None,
         with_labels: bool = True,
         composite: bool = True,
+        fast: bool = False,
     ) -> RenderResult:
         """Full frame: terrain + postprocess + label pass (reference render
-        loop §3.3/§3.4 of SURVEY)."""
+        loop §3.3/§3.4 of SURVEY).
+
+        ``fast=True`` renders through the LOD panorama engine and warps to
+        the perspective grid — interactive-rate, LOD-quality;
+        ``fast=False`` is the triangle-exact parity path.
+        """
         mosaic = self.mosaic
-        out = render_perspective(
-            mosaic,
-            camera,
-            width=width,
-            height=height,
-            n_steps=n_steps,
-            n_refine=n_refine,
-            pixelize_n=pixelize_n,
-        )
+        if fast:
+            import math
+
+            fov = math.degrees(float(camera.fov_y))
+            bucket = next(
+                (b for b in _FOV_BUCKETS_DEG if b >= fov - 1e-6), _FOV_BUCKETS_DEG[-1]
+            )
+            out = render_perspective_fast(
+                mosaic,
+                camera,
+                width=width,
+                height=height,
+                n_steps=min(n_steps, 512),
+                pixelize_n=pixelize_n,
+                fov_hint=math.radians(bucket),
+            )
+        else:
+            out = render_perspective(
+                mosaic,
+                camera,
+                width=width,
+                height=height,
+                n_steps=n_steps,
+                n_refine=n_refine,
+                pixelize_n=pixelize_n,
+            )
         vp = camera.build_view_proj_matrix(float(width), float(height))
 
         visible_labels: dict[GeoLocation, list] = {}
