@@ -81,17 +81,20 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
     mip_attrs = [
         pack_attr(m, jnp.broadcast_to(packed[0, 0], m.shape)) for m in mips
     ]
+    from topo_renderer_tpu.models.scene import MosaicHostData
+
     return TerrainMosaic(
         heights_flat=h.reshape(-1),
-        normals_packed_flat=packed.reshape(-1),
         attr_packed_flat=attr_packed,
         shape=(n, n),
         mip_heights_flat=tuple(m.reshape(-1) for m in mips),
         mip_attr_flat=tuple(mip_attrs),
         mip_shapes=tuple(m.shape for m in mips),
-        valid=jnp.ones((n, n), bool),
-        cell_tile=jnp.zeros((n, n), jnp.int32),
-        tile_rot=rot,
+        host=MosaicHostData(
+            valid=np.ones((n, n), bool),
+            cell_tile=np.zeros((n, n), np.int32),
+            tile_rot=np.asarray(rot),
+        ),
         model_point=jnp.array([lon_nw, lat_nw], jnp.float32),
         pixel_scale=jnp.array([ps, ps], jnp.float32),
         hmax=h.max(),

@@ -99,25 +99,22 @@ class TerrainMosaic:
         T(1024) layouts; storing 2-D T(8,128)-tiled arrays forces a full
         relayout copy of the table on every render call (observed as
         hundreds of ms in traces).
-      * ``normals_packed_flat`` stores each texel's quantized *world-space*
-        normal as one uint32 (10 bits/channel — the reference's Rgba8Unorm
-        texture idea, `compute_normals_shader.wgsl:47-50`, with the per-tile
-        rotation of `render_shader.wgsl:66-67` baked in at build), so shading
-        costs one gather + cheap bit unpacking per corner.
+      * ``attr_packed_flat`` rows carry (height, quantized *world-space*
+        normal) — 10 bits/channel normals extend the reference's Rgba8Unorm
+        texture idea (`compute_normals_shader.wgsl:47-50`) with the per-tile
+        rotation of `render_shader.wgsl:66-67` baked in at build — so one
+        row gather fetches every shading attribute.
+      * ``host`` carries host-only bookkeeping (valid mask, cell ownership)
+        outside the pytree so it is never transferred to the device.
     """
 
     heights_flat: Any  # f32[Hm*Wm], POISON_HEIGHT outside valid tiles
-    normals_packed_flat: Any  # u32[Hm*Wm]: world-space normal, 10b/channel
-    attr_packed_flat: Any  # f32[Hm*Wm, 2]: (height, bitcast(normal)) rows —
-    # one row gather fetches both shading attributes
+    attr_packed_flat: Any  # f32[Hm*Wm, 2]: (height, bitcast(normal)) rows
     shape: tuple  # (Hm, Wm) — static
     mip_heights_flat: tuple  # per-level flat f32 height pyramids (level 1..)
     mip_attr_flat: tuple  # per-level packed (height, normal) rows (level 1..)
     mip_shapes: tuple  # static shapes of the mip levels
-    valid: Any  # bool[Hm, Wm] (host convenience; not used in hot loops)
-    cell_tile: Any  # int32[Hm, Wm]; index into tile tables for the cell whose
-    # NW texel this is; -1 where no tile owns the cell
-    tile_rot: Any  # f32[T, 3, 3] normal->world rotation per tile
+    host: "MosaicHostData"  # valid/cell_tile/tile_rot, host-side only
     model_point: Any  # f32[2] (lon, lat) of texel (0, 0)
     pixel_scale: Any  # f32[2] degrees per texel (positive)
     hmax: Any  # f32 scalar: max height (for the ray shell bound)
@@ -131,7 +128,10 @@ class TerrainMosaic:
 
     @property
     def normals_packed(self):
-        return self.normals_packed_flat.reshape(self.shape)
+        bits = jax.lax.bitcast_convert_type(
+            self.attr_packed_flat[:, 1], jnp.uint32
+        )
+        return bits.reshape(self.shape)
 
     @property
     def normals(self):
@@ -139,25 +139,52 @@ class TerrainMosaic:
         nx, ny, nz = unpack_normals(self.normals_packed)
         return jnp.stack([nx, ny, nz], axis=-1)
 
+    @property
+    def valid(self):
+        return self.host.valid
+
+    @property
+    def cell_tile(self):
+        return self.host.cell_tile
+
+    @property
+    def tile_rot(self):
+        return self.host.tile_rot
+
+
+class MosaicHostData:
+    """Host bookkeeping bundle kept out of the jit pytree.
+
+    Hash/eq are constant: the data is non-semantic for compiled programs, so
+    different mosaics must not fragment the jit cache through it.
+    """
+
+    def __init__(self, valid, cell_tile, tile_rot):
+        self.valid = valid
+        self.cell_tile = cell_tile
+        self.tile_rot = tile_rot
+
+    def __hash__(self):
+        return 0
+
+    def __eq__(self, other):
+        return isinstance(other, MosaicHostData)
+
 
 jax.tree_util.register_dataclass(
     TerrainMosaic,
     data_fields=[
         "heights_flat",
-        "normals_packed_flat",
         "attr_packed_flat",
         "mip_heights_flat",
         "mip_attr_flat",
-        "valid",
-        "cell_tile",
-        "tile_rot",
         "model_point",
         "pixel_scale",
         "hmax",
         "bound_center",
         "bound_radius",
     ],
-    meta_fields=["shape", "mip_shapes"],
+    meta_fields=["shape", "mip_shapes", "host"],
 )
 
 
@@ -399,15 +426,12 @@ def build_mosaic(
 
     return TerrainMosaic(
         heights_flat=jnp.asarray(heights.reshape(-1)),
-        normals_packed_flat=jnp.asarray(normals_packed.reshape(-1)),
         attr_packed_flat=jnp.asarray(attr_packed),
         shape=(h_m, w_m),
         mip_heights_flat=tuple(jnp.asarray(m.reshape(-1)) for m in mips),
         mip_attr_flat=tuple(jnp.asarray(a) for a in mip_attrs),
         mip_shapes=tuple(mip_shapes),
-        valid=jnp.asarray(valid),
-        cell_tile=jnp.asarray(cell_tile),
-        tile_rot=jnp.asarray(rotations),
+        host=MosaicHostData(valid=valid, cell_tile=cell_tile, tile_rot=rotations),
         model_point=jnp.array([lon_nw, lat_nw], jnp.float32),
         pixel_scale=jnp.array([abs(ps_x), abs(ps_y)], jnp.float32),
         hmax=jnp.float32(hmax),

@@ -169,19 +169,22 @@ def sample_attributes_soa(mosaic, gx, gy):
     interpolation is linear over the planar triangle), using the world-space
     packed normal texture (`models/scene.pack_normals`).
     """
-    idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
-    hflat = mosaic.heights_flat
-    h_nw = jnp.take(hflat, idx)
-    h_ne = jnp.take(hflat, idx + 1)
-    h_sw = jnp.take(hflat, idx + w)
-    h_se = jnp.take(hflat, idx + w + 1)
-    h = tri_interp(h_nw, h_ne, h_sw, h_se, fx, fy, parity)
+    import jax
 
-    nflat = mosaic.normals_packed_flat
-    p_nw = jnp.take(nflat, idx)
-    p_ne = jnp.take(nflat, idx + 1)
-    p_sw = jnp.take(nflat, idx + w)
-    p_se = jnp.take(nflat, idx + w + 1)
+    idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
+    attr = mosaic.attr_packed_flat
+    r_nw = attr[idx]
+    r_ne = attr[idx + 1]
+    r_sw = attr[idx + w]
+    r_se = attr[idx + w + 1]
+    h = tri_interp(
+        r_nw[..., 0], r_ne[..., 0], r_sw[..., 0], r_se[..., 0], fx, fy, parity
+    )
+
+    p_nw = jax.lax.bitcast_convert_type(r_nw[..., 1], jnp.uint32)
+    p_ne = jax.lax.bitcast_convert_type(r_ne[..., 1], jnp.uint32)
+    p_sw = jax.lax.bitcast_convert_type(r_sw[..., 1], jnp.uint32)
+    p_se = jax.lax.bitcast_convert_type(r_se[..., 1], jnp.uint32)
     out = []
     for shift, scale in ((0, 1023.0), (10, 1023.0), (20, 1023.0)):
         c_nw = ((p_nw >> shift) & 0x3FF).astype(jnp.float32)
