@@ -39,6 +39,7 @@ def peak_visibility(
     *,
     width: int,
     height: int,
+    tolerance_rel: float = 0.0,
 ):
     """Visibility + screen positions for a padded peak array.
 
@@ -75,14 +76,25 @@ def peak_visibility(
     texel = depth[yc, xc]
     terrain_dist = dist_from_depth(texel)
     peak_dist = dist_from_depth(ndc[:, 2])
-    visible = in_frustum & (peak_dist - OCCLUSION_TOLERANCE_M < terrain_dist)
+    # The reference's 10 m tolerance assumes an exact depth buffer
+    # (`render_engine.rs:374`); LOD-mode renders carry a distance error
+    # proportional to distance, covered by ``tolerance_rel``.
+    tol = OCCLUSION_TOLERANCE_M + jnp.float32(tolerance_rel) * peak_dist
+    visible = in_frustum & (peak_dist - tol < terrain_dist)
 
     return {"visible": visible, "x": x, "y": y, "in_frustum": in_frustum}
 
 
 @partial(jax.jit, static_argnames=("spec",))
 def peak_visibility_panorama(
-    positions, valid, eye, spec, depth, azimuth_offset=0.0, elev_offset=0.0
+    positions,
+    valid,
+    eye,
+    spec,
+    depth,
+    azimuth_offset=0.0,
+    elev_offset=0.0,
+    tolerance_rel: float = 0.0,
 ):
     """Panorama-space variant (TPU-native extension — the reference has no
     panorama mode): peaks project via azimuth/elevation, occlusion compares
@@ -125,5 +137,6 @@ def peak_visibility_panorama(
     xc = jnp.clip(x, 0, W - 1)
     yc = jnp.clip(y, 0, H - 1)
     terrain_dist = dist_from_depth(depth[yc, xc])
-    visible = in_view & (dist - OCCLUSION_TOLERANCE_M < terrain_dist)
+    tol = OCCLUSION_TOLERANCE_M + jnp.float32(tolerance_rel) * dist
+    visible = in_view & (dist - tol < terrain_dist)
     return {"visible": visible, "x": x, "y": y, "in_frustum": in_view}

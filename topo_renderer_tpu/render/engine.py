@@ -180,7 +180,10 @@ class RenderEngine:
         if with_labels and self._peaks:
             entries, pos, valid = self._padded_peaks()
             vis = peak_visibility(
-                pos, valid, vp, out["depth"], width=width, height=height
+                pos, valid, vp, out["depth"], width=width, height=height,
+                # LOD-mode depth carries distance-proportional error; the
+                # reference's absolute 10 m applies to the exact path.
+                tolerance_rel=0.05 if fast else 0.0,
             )
             visible = np.asarray(vis["visible"])
             xs = np.asarray(vis["x"])
@@ -246,7 +249,10 @@ class RenderEngine:
         layouts: list = []
         if with_labels and self._peaks:
             entries, pos, valid = self._padded_peaks()
-            vis = peak_visibility_panorama(pos, valid, eye, spec, out["depth"])
+            vis = peak_visibility_panorama(
+                pos, valid, eye, spec, out["depth"],
+                tolerance_rel=0.05 if spec.lod else 0.0,
+            )
             visible = np.asarray(vis["visible"])
             xs = np.asarray(vis["x"])
             ys = np.asarray(vis["y"])
