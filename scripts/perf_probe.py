@@ -23,7 +23,7 @@ from topo_renderer_tpu.ops.normals import compute_normals
 from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
 
 
-def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
+def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0, rugged=False):
     rot3 = jnp.asarray(
         np.asarray(normal_to_world_rotation(lon_nw, lat_nw))[:3, :3], jnp.float32
     )
@@ -33,15 +33,29 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
         ys = jnp.arange(n, dtype=jnp.float32)[:, None] / n
         xs = jnp.arange(n, dtype=jnp.float32)[None, :] / n
         h = jnp.full((n, n), 1500.0, jnp.float32)
-        for k in range(1, 5):
-            h += (600.0 / k) * jnp.sin(12 * k * xs * jnp.pi + 0.3 * k) * jnp.cos(
-                12 * k * ys * jnp.pi + 1.1 * k
-            )
+        if rugged:
+            # Ridged multi-octave relief for demo imagery (alpine look).
+            for k in range(6):
+                f = 6.0 * (2.0**k)
+                amp = 900.0 / (1.6**k)
+                band = jnp.sin(f * xs * jnp.pi + 0.7 * k) * jnp.cos(
+                    f * ys * jnp.pi + 1.3 * k + jnp.sin(3.0 * xs + k)
+                )
+                h += amp * (1.0 - jnp.abs(band)) - 0.5 * amp
+        else:
+            for k in range(1, 5):
+                h += (600.0 / k) * jnp.sin(12 * k * xs * jnp.pi + 0.3 * k) * jnp.cos(
+                    12 * k * ys * jnp.pi + 1.1 * k
+                )
         return h
 
-    @jax.jit
-    def gen_normals(h):
-        normals = compute_normals(h, (ps, ps), (0, 0), (lon_nw, lat_nw), quantize=True)
+    def gen_normals(h, level=0):
+        s = float(2**level)
+        off = (s - 1.0) / 2.0
+        normals = compute_normals(
+            h, (ps * s, ps * s), (0, 0),
+            (lon_nw + ps * off, lat_nw - ps * off), quantize=True,
+        )
         world = jnp.einsum("ij,hwj->hwi", rot3, normals)
         enc = jnp.round(jnp.clip(0.5 * (world + 1.0), 0.0, 1.0) * 1023.0).astype(
             jnp.uint32
@@ -76,10 +90,8 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0):
         )
     )
     attr_packed = pack_attr(h, packed)
-    # Synthetic probe shortcut: mip attrs carry an up-facing normal (perf
-    # probe only; the real builder recomputes per-level normals).
     mip_attrs = [
-        pack_attr(m, jnp.broadcast_to(packed[0, 0], m.shape)) for m in mips
+        pack_attr(m, gen_normals(m, level=lv)) for lv, m in enumerate(mips, start=1)
     ]
     from topo_renderer_tpu.models.scene import MosaicHostData
 

@@ -17,6 +17,8 @@ Layer map (mirrors SURVEY.md §1 of the reference):
   parallel            — device-mesh sharding (no reference equivalent; TPU-native)
 """
 
+import os as _os
+
 import jax as _jax
 
 # Rendering geometry (view/projection matrices, ECEF positions ~6.4e6 m with
@@ -24,6 +26,18 @@ import jax as _jax
 # bfloat16 inputs; force full precision globally — throughput-critical kernels
 # opt into lower precision explicitly where it is safe.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: render pipelines compile per image shape;
+# caching makes the second process start in milliseconds instead of minutes.
+# Opt out with TOPO_NO_COMPILE_CACHE=1.
+if not _os.environ.get("TOPO_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "TOPO_COMPILE_CACHE", _os.path.expanduser("~/.cache/topo_renderer_tpu_xla")
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from topo_renderer_tpu.geo import (
     GeoCoord,

@@ -81,6 +81,8 @@ class PanoramaSpec:
     attrs_from_profile: bool = False  # shade from per-sample attrs (needs lod)
     clipmap: bool = False  # gather from eye-centered windows, not full tables
     clipmap_threshold: int = 4_000_000  # window only tables above this size
+    near_bilinear_m: float = 0.0  # bilinear-sample profile steps closer than
+    # this ground distance (kills nearest-texel blockiness in close-ups)
     # Fused Pallas crossing kernel (ops/pallas_crossing.py): bit-identical
     # output, but XLA's fused reductions currently edge it out end-to-end
     # (~20 vs ~21 ms at 4096x1024), so it is opt-in. It is the seed of a
@@ -105,6 +107,7 @@ class PanoramaSpec:
         kw.setdefault("profile_nearest", True)
         kw.setdefault("attrs_from_profile", True)
         kw.setdefault("clipmap", True)
+        kw.setdefault("near_bilinear_m", 3000.0)
         kw.setdefault("n_refine", 0)
         return PanoramaSpec(width=width, height=height, n_steps=n_steps, **kw)
 
@@ -248,7 +251,29 @@ def render_panorama(
         )
 
         parts_e, parts_attr = [], []
-        for level, k0, k1 in _lod_segments(spec, n_levels):
+        segments = _lod_segments(spec, n_levels)
+        if spec.near_bilinear_m > 0.0:
+            # Statically split segments at the bilinear/nearest boundary.
+            s_np = spec.s_near * (spec.s_far / spec.s_near) ** (
+                _np.arange(N) / (N - 1)
+            )
+            k_cut = int(_np.searchsorted(s_np, spec.near_bilinear_m))
+            split = []
+            for level, k0, k1 in segments:
+                if k0 < k_cut < k1:
+                    split += [(level, k0, k_cut), (level, k_cut, k1)]
+                else:
+                    split.append((level, k0, k1))
+            segments = split
+        else:
+            s_np = None
+        for level, k0, k1 in segments:
+            seg_bilinear = (
+                spec.near_bilinear_m > 0.0
+                and use_attr_prof
+                and s_np is not None
+                and s_np[k1 - 1] <= spec.near_bilinear_m
+            )
             if level == 0:
                 hf, af, shape_l = (
                     mosaic.heights_flat, mosaic.attr_packed_flat, mosaic.shape
@@ -302,27 +327,60 @@ def render_panorama(
             gx0, gy0 = raster_from_geo(mosaic, lon_s, lat_s)
             lx = (gx0 - off) / s - ox
             ly = (gy0 - off) / s - oy
-            ix = jnp.round(lx).astype(jnp.int32)
-            iy = jnp.round(ly).astype(jnp.int32)
-            ok = (ix >= 0) & (ix <= tw - 1) & (iy >= 0) & (iy <= th_ - 1)
-            idx = jnp.clip(iy, 0, th_ - 1) * tw + jnp.clip(ix, 0, tw - 1)
-            if use_attr_prof:
-                # One row gather serves both the height (for the visibility
-                # ratio) and the packed normal payloads — halving the
-                # dominant per-sample gather cost.
-                rows = tbl_a[idx]
-                h = rows[..., 0]
-                bits = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
-                parts_attr.append(
-                    tuple(
-                        jnp.where(
-                            ok, ((bits >> s) & 0x3FF).astype(jnp.float32), 0.0
-                        )
-                        for s in (0, 10, 20)
+            if seg_bilinear:
+                # Near field: bilinear height + normal (4 row gathers) so
+                # close-up texels don't render as flat blocks.
+                x0f = jnp.floor(lx)
+                y0f = jnp.floor(ly)
+                ok = (lx >= 0) & (lx <= tw - 1) & (ly >= 0) & (ly <= th_ - 1)
+                x0 = jnp.clip(x0f.astype(jnp.int32), 0, tw - 2)
+                y0 = jnp.clip(y0f.astype(jnp.int32), 0, th_ - 2)
+                fxs = jnp.clip(lx - x0, 0.0, 1.0)
+                fys = jnp.clip(ly - y0, 0.0, 1.0)
+                i00 = y0 * tw + x0
+                r00 = tbl_a[i00]
+                r01 = tbl_a[i00 + 1]
+                r10 = tbl_a[i00 + tw]
+                r11 = tbl_a[i00 + tw + 1]
+
+                def blend(v00, v01, v10, v11):
+                    return (v00 * (1 - fxs) + v01 * fxs) * (1 - fys) + (
+                        v10 * (1 - fxs) + v11 * fxs
+                    ) * fys
+
+                h = blend(r00[..., 0], r01[..., 0], r10[..., 0], r11[..., 0])
+                bbits = [
+                    jax.lax.bitcast_convert_type(r[..., 1], jnp.uint32)
+                    for r in (r00, r01, r10, r11)
+                ]
+                comps = []
+                for sh in (0, 10, 20):
+                    c = blend(
+                        *(((b >> sh) & 0x3FF).astype(jnp.float32) for b in bbits)
                     )
-                )
+                    comps.append(jnp.where(ok, jnp.round(c), 0.0))
+                parts_attr.append(tuple(comps))
             else:
-                h = jnp.take(tbl_h, idx)
+                ix = jnp.round(lx).astype(jnp.int32)
+                iy = jnp.round(ly).astype(jnp.int32)
+                ok = (ix >= 0) & (ix <= tw - 1) & (iy >= 0) & (iy <= th_ - 1)
+                idx = jnp.clip(iy, 0, th_ - 1) * tw + jnp.clip(ix, 0, tw - 1)
+                if use_attr_prof:
+                    # One row gather serves both the height (visibility
+                    # ratio) and the packed normal payloads.
+                    rows = tbl_a[idx]
+                    h = rows[..., 0]
+                    bits = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
+                    parts_attr.append(
+                        tuple(
+                            jnp.where(
+                                ok, ((bits >> sh) & 0x3FF).astype(jnp.float32), 0.0
+                            )
+                            for sh in (0, 10, 20)
+                        )
+                    )
+                else:
+                    h = jnp.take(tbl_h, idx)
             ok = ok & (h > 0.5 * INVALID_HEIGHT)
             y = h * cs - a0 - 2.0 * R0 * sh2
             x = (R0 + h) * sn
