@@ -56,6 +56,25 @@ def test_sharded_matches_single_device():
     np.testing.assert_array_equal(vis_np, expect)
 
 
+def test_sharded_fast_lod_spec():
+    """Azimuth sharding composes with the clipmap/LOD fast preset."""
+    engine, cam, tile = build_engine(n=33, span=0.03)
+    spec = PanoramaSpec.fast(width=128, height=32, n_steps=128)
+    mesh = make_mesh(8, dp=2, az=4)
+    eyes = np.stack([np.asarray(cam.eye)] * 2)
+    suns = np.stack([np.asarray(cam.sun_angle.to_vec3())] * 2)
+    color, depth, _ = render_batch_sharded(engine.mosaic, eyes, suns, spec, mesh)
+    assert color.shape == (2, 32, 128, 3)
+    assert np.isfinite(np.asarray(color)).all()
+    ref = render_panorama(engine.mosaic, jnp.asarray(cam.eye), spec,
+                          jnp.asarray(suns[0]), apply_postprocess=False,
+                          quantize_rt=False)
+    # Hit structure should broadly match the single-device render.
+    sh_hit = np.asarray(depth[0]) < 0.9999
+    ref_hit = np.asarray(ref["hit"])
+    assert (sh_hit == ref_hit).mean() > 0.95
+
+
 def test_dp_only_mesh():
     engine, cam, tile = build_engine(n=33, span=0.03)
     spec = PanoramaSpec(width=64, height=16, n_steps=64, n_refine=0)

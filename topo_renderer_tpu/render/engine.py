@@ -288,9 +288,23 @@ class RenderEngine:
     def render_batch(self, eyes, spec: PanoramaSpec, sun_directions, view_mode=0, fog=None):
         """Batched panorama rendering: ``eyes f32[B, 3]`` -> color
         ``f32[B, H, W, 3]`` (BASELINE config 5 throughput mode). Labels are
-        skipped in batch mode; use `render_panorama` per frame for labels."""
+        skipped in batch mode; use `render_panorama` per frame for labels.
+
+        Clipmap (LOD) specs pipeline per-viewpoint calls instead of vmapping:
+        vmapped window extraction turns the small per-eye gather tables into
+        one batched table and forfeits the clipmap's locality win, measuring
+        ~3x slower than the pipelined loop on TPU.
+        """
         eyes = jnp.asarray(eyes, jnp.float32)
         suns = jnp.asarray(sun_directions, jnp.float32)
+        if spec.lod and spec.clipmap:
+            outs = [
+                render_panorama(
+                    self.mosaic, eyes[i], spec, suns[i], view_mode=view_mode, fog=fog
+                )["color"]
+                for i in range(eyes.shape[0])
+            ]
+            return jnp.stack(jax.block_until_ready(outs))
         fn = jax.vmap(
             lambda e, s: render_panorama(
                 self.mosaic, e, spec, s, view_mode=view_mode, fog=fog
