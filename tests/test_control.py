@@ -32,6 +32,18 @@ def test_get_locations_range_tatra():
     assert len(locs) == 6
 
 
+def test_get_locations_range_near_pole():
+    # Near the pole the 100 km circle spans many longitudes; must not raise
+    # (the acos argument leaves [-1, 1] there).
+    locs = get_locations_range(GeoCoord(89.5, 10.0), 100_000.0)
+    assert len(locs) >= 10
+    lats = {loc.latitude.to_float() for loc in locs}
+    assert lats <= {88.0, 89.0}
+    # And the degenerate exactly-at-pole case.
+    locs = get_locations_range(GeoCoord(89.999, 0.0), 100_000.0)
+    assert len(locs) > 0
+
+
 def test_get_locations_range_wraps_longitude():
     locs = get_locations_range(GeoCoord(10.5, 179.9), 100_000.0)
     lons = {loc.longitude.to_float() for loc in locs}

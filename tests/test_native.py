@@ -65,6 +65,98 @@ def test_native_is_default_path():
     np.testing.assert_allclose(info.pixel_scale, py_info.pixel_scale)
 
 
+def test_native_lzw_decode():
+    """LZW-compressed strips decode identically in C++ and Python."""
+    import io
+    import struct
+
+    from tests.test_tiff import synthetic_heights
+
+    heights = synthetic_heights(17, 21)
+    raw = heights.astype("<f4").tobytes()
+
+    # Minimal TIFF-LZW encoder (MSB-first, early change), from test_tiff.
+    def lzw_encode(data: bytes) -> bytes:
+        CLEAR, EOI = 256, 257
+        dict_ = {bytes([i]): i for i in range(256)}
+        next_code, code_bits = 258, 9
+        out_bits = [(CLEAR, 9)]
+        prev = b""
+        for byte in data:
+            cur = prev + bytes([byte])
+            if cur in dict_:
+                prev = cur
+            else:
+                out_bits.append((dict_[prev], code_bits))
+                dict_[cur] = next_code
+                next_code += 1
+                if next_code + 1 > (1 << code_bits) and code_bits < 12:
+                    code_bits += 1
+                prev = bytes([byte])
+        if prev:
+            out_bits.append((dict_[prev], code_bits))
+        out_bits.append((EOI, code_bits))
+        acc = nbits = 0
+        out = bytearray()
+        for code, bits in out_bits:
+            acc = (acc << bits) | code
+            nbits += bits
+            while nbits >= 8:
+                nbits -= 8
+                out.append((acc >> nbits) & 0xFF)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    comp = lzw_encode(raw)
+    buf = io.BytesIO()
+    buf.write(struct.pack("<2sHI", b"II", 42, 8))
+    tags, deferred = [], []
+    n_entries = 8
+    data_start = 8 + 2 + 12 * n_entries + 4
+
+    def add(tag, typ, count, packed):
+        if len(packed) <= 4:
+            tags.append(struct.pack("<HHI", tag, typ, count) + packed.ljust(4, b"\0"))
+        else:
+            off = data_start + sum(len(p) for p in deferred)
+            deferred.append(packed)
+            tags.append(struct.pack("<HHII", tag, typ, count, off))
+
+    h, w = heights.shape
+    add(256, 4, 1, struct.pack("<I", w))
+    add(257, 4, 1, struct.pack("<I", h))
+    add(258, 3, 1, struct.pack("<H", 32))
+    add(259, 3, 1, struct.pack("<H", 5))  # LZW
+    add(278, 4, 1, struct.pack("<I", h))
+    add(339, 3, 1, struct.pack("<H", 3))
+    pixel_off = data_start + sum(len(p) for p in deferred)
+    add(273, 4, 1, struct.pack("<I", pixel_off))
+    add(279, 4, 1, struct.pack("<I", len(comp)))
+    buf.write(struct.pack("<H", n_entries))
+    for t in sorted(tags, key=lambda b: struct.unpack_from("<H", b)[0]):
+        buf.write(t)
+    buf.write(struct.pack("<I", 0))
+    for p in deferred:
+        buf.write(p)
+    buf.write(comp)
+    blob = buf.getvalue()
+
+    result = native.tiff_decode(blob)
+    assert result is not None
+    np.testing.assert_array_equal(result[0], heights)
+    # Python fallback agrees.
+    import topo_renderer_tpu.data.tiff as tiff_mod
+
+    orig = tiff_mod._try_native
+    tiff_mod._try_native = lambda data: None
+    try:
+        py, _ = tiff_mod.read_geotiff(blob)
+    finally:
+        tiff_mod._try_native = orig
+    np.testing.assert_array_equal(py, heights)
+
+
 def test_native_rejects_garbage():
     assert native.tiff_decode(b"not a tiff at all") is None
 

@@ -38,8 +38,12 @@ def get_locations_range(location: GeoCoord, range_dist: float = TILE_RANGE_M) ->
     arc_factor = 0.5 * range_dist / R0
     afs = math.sin(arc_factor)
     afs_sq = afs * afs
-    dlon = math.degrees(math.acos(1.0 - afs_sq / lat_cos / lat_cos))
-    dlat = math.degrees(math.acos(1.0 - afs_sq))
+    # Near the poles 1 - afs^2/cos^2(lat) drops below -1; the reference's f32
+    # acos yields NaN there and its casts flush to 0 — Python's math.acos
+    # would raise instead, so clamp and cover the whole longitude ring.
+    dlon_arg = 1.0 - afs_sq / lat_cos / lat_cos if lat_cos > 1e-9 else -1.0
+    dlon = math.degrees(math.acos(max(min(dlon_arg, 1.0), -1.0)))
+    dlat = math.degrees(math.acos(max(min(1.0 - afs_sq, 1.0), -1.0)))
     lat_start = max(math.floor(location.latitude - dlat), -90)
     lat_end = min(math.floor(location.latitude + dlat), 89)
     lon_start = math.floor(location.longitude - dlon)
