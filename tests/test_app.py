@@ -53,6 +53,49 @@ def test_application_end_to_end(backend):
         app.shutdown()
 
 
+def test_application_run_loop(backend):
+    server, _, _ = backend
+    app = Application(Settings(backend_url=server.url))
+    try:
+        app.viewport = (48, 32)
+        app.start(GeoCoord(49.35135, 20.21139))
+        app.wait_for_terrain(timeout=60)
+        frames = []
+        app.run(
+            on_frame=lambda res: frames.append(res.color.shape),
+            max_frames=3,
+            target_fps=60.0,
+        )
+        assert len(frames) >= 1 and frames[0] == (32, 48, 3)
+    finally:
+        app.shutdown()
+
+
+def test_engine_sharded_wrapper(backend):
+    from topo_renderer_tpu.ops.panorama import PanoramaSpec
+    from topo_renderer_tpu.parallel.mesh import make_mesh
+
+    server, loc, heights = backend
+    app = Application(Settings(backend_url=server.url))
+    try:
+        app.start(GeoCoord(49.35135, 20.21139))
+        app.wait_for_terrain(timeout=60)
+        app.pump_events()
+        import time
+
+        time.sleep(0.3)
+        app.pump_events()
+        mesh = make_mesh(8, dp=2, az=4)
+        spec = PanoramaSpec.fast(width=128, height=32, n_steps=128)
+        eyes = np.stack([np.asarray(app.data.camera.eye)] * 2)
+        suns = np.stack([np.asarray(app.data.camera.sun_angle.to_vec3())] * 2)
+        color, depth, visible = app.engine.render_batch_sharded(eyes, spec, suns, mesh)
+        assert color.shape == (2, 32, 128, 3)
+        assert visible.shape[0] == 2
+    finally:
+        app.shutdown()
+
+
 def test_cli_panorama(backend, tmp_path, monkeypatch):
     server, _, _ = backend
     out = tmp_path / "pano.png"

@@ -39,6 +39,9 @@ class WebFrontend:
     def __init__(self, settings: Settings | None = None, port: int = 8080):
         self.app = Application(settings)
         self._lock = threading.Lock()
+        # One render at a time: the engine + application state are shared
+        # across ThreadingHTTPServer handler threads.
+        self._render_lock = threading.Lock()
         self._status = {"running": 0, "errors": [], "loaded": 0}
         self._notes = self.app.subscribe_to_background_notifications()
         threading.Thread(target=self._watch_notifications, daemon=True).start()
@@ -94,23 +97,25 @@ class WebFrontend:
         fog = q.get("fog", [None])[0] or None
 
         location = GeoCoord(lat, lon)
-        # set_location semantics (`lib.rs:26-36`): stream tiles + reset camera.
-        self.app.change_location(location)
-        self.app.wait_for_terrain()
-        t0 = time.time()
-        while time.time() - t0 < 1.0:
-            self.app.pump_events()
-            time.sleep(0.05)
-        with self._lock:
-            self._status["loaded"] = len(self.app.engine.loaded_locations)
+        with self._render_lock:
+            # set_location semantics (`lib.rs:26-36`): stream tiles + reset
+            # camera.
+            self.app.change_location(location)
+            self.app.wait_for_terrain()
+            t0 = time.time()
+            while time.time() - t0 < 1.0:
+                self.app.pump_events()
+                time.sleep(0.05)
+            with self._lock:
+                self._status["loaded"] = len(self.app.engine.loaded_locations)
 
-        cam = self.app.data.camera
-        if panorama:
-            spec = PanoramaSpec.fast(width=width, height=height)
-            res = self.app.engine.render_panorama(cam, spec, fog=fog)
-        else:
-            res = self.app.engine.render(cam, width, height)
-        return encode_png(res.color)
+            cam = self.app.data.camera
+            if panorama:
+                spec = PanoramaSpec.fast(width=width, height=height)
+                res = self.app.engine.render_panorama(cam, spec, fog=fog)
+            else:
+                res = self.app.engine.render(cam, width, height, fast=True)
+            return encode_png(res.color)
 
     def serve_forever(self):
         self._httpd.serve_forever()

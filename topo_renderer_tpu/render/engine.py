@@ -311,3 +311,24 @@ class RenderEngine:
             )["color"]
         )
         return fn(eyes, suns)
+
+    def render_batch_sharded(
+        self, eyes, spec: PanoramaSpec, sun_directions, mesh, fog=None, view_mode=0
+    ):
+        """Multi-chip batched panoramas over a (dp, az) device mesh with
+        psum-merged peak visibility (`parallel/sharded.py`); returns
+        ``(color [B, H, W, 3], depth [B, H, W], visible [B, P])``."""
+        from topo_renderer_tpu.parallel.sharded import render_batch_sharded
+
+        entries, pos, valid = self._padded_peaks()
+        return render_batch_sharded(
+            self.mosaic,
+            jnp.asarray(eyes, jnp.float32),
+            jnp.asarray(sun_directions, jnp.float32),
+            spec,
+            mesh,
+            view_mode=view_mode,
+            fog=fog,
+            peak_positions=pos,
+            peak_valid=valid,
+        )
