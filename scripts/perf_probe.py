@@ -93,14 +93,43 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0, r
     mip_attrs = [
         pack_attr(m, gen_normals(m, level=lv)) for lv, m in enumerate(mips, start=1)
     ]
+
+    def pool_max_dilate(cur, out_shape):
+        hh, ww = out_shape
+        p = cur[: 2 * hh, : 2 * ww].reshape(hh, 2, ww, 2).max(axis=(1, 3))
+        pp = jnp.pad(p, 1, mode="edge")
+        d = p
+        for dy in range(3):
+            for dx in range(3):
+                d = jnp.maximum(d, pp[dy : dy + hh, dx : dx + ww])
+        return p, d
+
+    mip_hmax = []
+    cur = h
+    for m in mips:
+        cur, dil = pool_max_dilate(cur, m.shape)
+        mip_hmax.append(dil)
     from topo_renderer_tpu.models.scene import MosaicHostData
+
+    cell = jnp.stack(
+        [
+            h,
+            jnp.roll(h, -1, axis=1),
+            jnp.roll(h, -1, axis=0),
+            jnp.roll(jnp.roll(h, -1, axis=0), -1, axis=1),
+        ],
+        axis=-1,
+    ).reshape(-1, 4)
 
     return TerrainMosaic(
         heights_flat=h.reshape(-1),
         attr_packed_flat=attr_packed,
+        cell_heights_flat=cell,
+        has_cell_table=True,
         shape=(n, n),
         mip_heights_flat=tuple(m.reshape(-1) for m in mips),
         mip_attr_flat=tuple(mip_attrs),
+        mip_hmax_flat=tuple(m.reshape(-1) for m in mip_hmax),
         mip_shapes=tuple(m.shape for m in mips),
         host=MosaicHostData(
             valid=np.ones((n, n), bool),

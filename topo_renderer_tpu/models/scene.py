@@ -110,9 +110,15 @@ class TerrainMosaic:
 
     heights_flat: Any  # f32[Hm*Wm], POISON_HEIGHT outside valid tiles
     attr_packed_flat: Any  # f32[Hm*Wm, 2]: (height, bitcast(normal)) rows
+    cell_heights_flat: Any  # f32[Hm*Wm, 4]: per-cell corner rows
+    # (NW, NE, SW, SE) — one row gather feeds the exact triangle march
+    # (5x faster than 4 scalar gathers); dummy [1, 4] when disabled
+    has_cell_table: bool  # static: whether cell_heights_flat is real
     shape: tuple  # (Hm, Wm) — static
     mip_heights_flat: tuple  # per-level flat f32 height pyramids (level 1..)
     mip_attr_flat: tuple  # per-level packed (height, normal) rows (level 1..)
+    mip_hmax_flat: tuple  # per-level DILATED max-height bounds (level 1..) —
+    # conservative: >= any height within the texel's footprint + 1 texel ring
     mip_shapes: tuple  # static shapes of the mip levels
     host: "MosaicHostData"  # valid/cell_tile/tile_rot, host-side only
     model_point: Any  # f32[2] (lon, lat) of texel (0, 0)
@@ -176,16 +182,47 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "heights_flat",
         "attr_packed_flat",
+        "cell_heights_flat",
         "mip_heights_flat",
         "mip_attr_flat",
+        "mip_hmax_flat",
         "model_point",
         "pixel_scale",
         "hmax",
         "bound_center",
         "bound_radius",
     ],
-    meta_fields=["shape", "mip_shapes", "host"],
+    meta_fields=["shape", "mip_shapes", "host", "has_cell_table"],
 )
+
+
+def build_max_mips(heights: "np.ndarray", shapes) -> list:
+    """Dilated max-height pyramid matching ``shapes``: each level-L texel
+    bounds every height within its 2^L footprint plus a 1-texel ring, so a
+    single nearest gather conservatively bounds any segment that stays within
+    one texel of the sampled one (the two-level exact march relies on it)."""
+    out = []
+    cur = heights
+    for (h2, w2) in shapes:
+        pooled = np.full((h2, w2), np.float32(POISON_HEIGHT), np.float32)
+        ch = cur[: 2 * h2, : 2 * w2]
+        pooled = ch.reshape(h2, 2, w2, 2).max(axis=(1, 3))
+        # include odd remainder rows/cols in the last texel's bound
+        if cur.shape[0] > 2 * h2:
+            pooled[-1] = np.maximum(pooled[-1], cur[2 * h2 :, : 2 * w2].reshape(-1, w2, 2).max(axis=(0, 2)))
+        if cur.shape[1] > 2 * w2:
+            pooled[:, -1] = np.maximum(
+                pooled[:, -1], cur[: 2 * h2, 2 * w2 :].reshape(h2, 2, -1).max(axis=(1, 2))
+            )
+        # dilate by one texel (3x3 max)
+        p = np.pad(pooled, 1, mode="edge")
+        dil = pooled
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                dil = np.maximum(dil, p[dy : dy + h2, dx : dx + w2])
+        out.append(dil.astype(np.float32))
+        cur = pooled
+    return out
 
 
 def build_height_mips(heights: "np.ndarray", n_levels: int | None = None):
@@ -247,6 +284,7 @@ def build_mosaic(
     tiles: Sequence[TerrainTile],
     quantize_normals: bool = True,
     correct_axes: bool = False,
+    exact_tables: bool = True,
 ) -> TerrainMosaic:
     """Assemble decoded tiles into one stitched mosaic (host -> device).
 
@@ -424,12 +462,30 @@ def build_mosaic(
             )
         )
 
+    if exact_tables:
+        cell = np.stack(
+            [
+                heights,
+                np.roll(heights, -1, axis=1),
+                np.roll(heights, -1, axis=0),
+                np.roll(np.roll(heights, -1, axis=0), -1, axis=1),
+            ],
+            axis=-1,
+        ).reshape(-1, 4)
+    else:
+        cell = np.zeros((1, 4), np.float32)
+
     return TerrainMosaic(
         heights_flat=jnp.asarray(heights.reshape(-1)),
         attr_packed_flat=jnp.asarray(attr_packed),
+        cell_heights_flat=jnp.asarray(cell),
+        has_cell_table=bool(exact_tables),
         shape=(h_m, w_m),
         mip_heights_flat=tuple(jnp.asarray(m.reshape(-1)) for m in mips),
         mip_attr_flat=tuple(jnp.asarray(a) for a in mip_attrs),
+        mip_hmax_flat=tuple(
+            jnp.asarray(m.reshape(-1)) for m in build_max_mips(heights, mip_shapes)
+        ),
         mip_shapes=tuple(mip_shapes),
         host=MosaicHostData(valid=valid, cell_tile=cell_tile, tile_rot=rotations),
         model_point=jnp.array([lon_nw, lat_nw], jnp.float32),

