@@ -25,20 +25,33 @@ def main():
     sys.path.insert(0, "scripts")
     from perf_probe import eye_at, synthetic_mosaic_device
 
-    from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
+    from topo_renderer_tpu.ops.panorama import (
+        PanoramaSpec,
+        extract_clipmap_windows,
+        render_panorama,
+    )
 
-    # ~4 degrees of 3-arcsec terrain resident on device (~16 COP-90 tiles
-    # stitched; bounded by tunnel-free generation, see scripts/perf_probe.py).
-    mosaic = synthetic_mosaic_device(n=4801)
+    # ~100 COP-90 tiles of 3-arcsec terrain resident on device (12001^2
+    # texels, ~5 GB of tables) — BASELINE config 4's wide-area scale. The
+    # clipmap makes render cost independent of the loaded-tile count; terrain
+    # is generated on device (scripts/perf_probe.py) to keep the benchmark
+    # independent of host->device tunnel bandwidth.
+    mosaic = synthetic_mosaic_device(n=12001)
     jax.block_until_ready(mosaic.heights_flat)
 
-    eye = eye_at(50.0, 20.0, 2800.0)
+    eye = eye_at(47.0, 23.0, 2800.0)  # mosaic center
     sun = jnp.array([0.3, 0.5, 0.8], jnp.float32)
     # LOD fast path: config 4 is the wide-area LOD vista mode (BASELINE.md).
     spec = PanoramaSpec.fast(width=4096, height=1024, n_steps=512)
 
     def run():
-        return render_panorama(mosaic, eye, spec, sun, fog="atmosphere")["color"]
+        # Two-program path (like render/engine.py): window extraction keeps
+        # the full tables out of the render program's parameter uses, so XLA
+        # doesn't re-stream them cross-program-prefetching every frame.
+        win = extract_clipmap_windows(mosaic, eye, spec)
+        return render_panorama(
+            mosaic, eye, spec, sun, fog="atmosphere", windows=win
+        )["color"]
 
     jax.block_until_ready(run())  # compile
     # Sustained throughput: enqueue a pipeline of frames and block once —

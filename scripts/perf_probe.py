@@ -28,7 +28,6 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0, r
         np.asarray(normal_to_world_rotation(lon_nw, lat_nw))[:3, :3], jnp.float32
     )
 
-    @jax.jit
     def gen_heights():
         ys = jnp.arange(n, dtype=jnp.float32)[:, None] / n
         xs = jnp.arange(n, dtype=jnp.float32)[None, :] / n
@@ -62,18 +61,86 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0, r
         )
         return enc[..., 0] | (enc[..., 1] << 10) | (enc[..., 2] << 20)
 
-    @jax.jit
+    # NB: pooling via reshape(hh, 2, ww, 2) materializes a 4-D intermediate
+    # whose trailing dim 2 is padded to 128 lanes by the T(8,128) layout --
+    # 64x the memory, OOM at ~100-tile scale. Strided slices keep it 2-D.
     def pool(cur):
         hh, ww = cur.shape[0] // 2, cur.shape[1] // 2
-        return cur[: 2 * hh, : 2 * ww].reshape(hh, 2, ww, 2).mean(axis=(1, 3))
+        c = cur[: 2 * hh, : 2 * ww]
+        return 0.25 * (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
 
-    h = gen_heights()
-    packed = gen_normals(h)
-    mips = []
-    cur = h
-    while min(cur.shape) >= 8:
-        cur = pool(cur)
-        mips.append(cur)
+    pack_attr = lambda hh, pp: jnp.stack(
+        [hh.reshape(-1), jax.lax.bitcast_convert_type(pp.reshape(-1), jnp.float32)],
+        axis=-1,
+    )
+
+    def pool_max_dilate(cur, out_shape):
+        hh, ww = out_shape
+        c = cur[: 2 * hh, : 2 * ww]
+        p = jnp.maximum(
+            jnp.maximum(c[0::2, 0::2], c[0::2, 1::2]),
+            jnp.maximum(c[1::2, 0::2], c[1::2, 1::2]),
+        )
+        pp = jnp.pad(p, 1, mode="edge")
+        d = p
+        for dy in range(3):
+            for dx in range(3):
+                d = jnp.maximum(d, pp[dy : dy + hh, dx : dx + ww])
+        return p, d
+
+    # One jitted program for the whole build: eagerly dispatching ~100 large
+    # ops over the axon tunnel costs minutes; fused + persistently cached it
+    # is seconds.
+    @jax.jit
+    def build_all():
+        h = gen_heights()
+        packed = gen_normals(h)
+        mips = []
+        cur = h
+        while min(cur.shape) >= 8:
+            cur = pool(cur)
+            mips.append(cur)
+        attr_packed = pack_attr(h, packed)
+        mip_packed = [gen_normals(m, level=lv) for lv, m in enumerate(mips, 1)]
+        mip_attrs = [pack_attr(m, p) for m, p in zip(mips, mip_packed)]
+        win2d = lambda hh, pp: jnp.stack(
+            [hh, jax.lax.bitcast_convert_type(pp, jnp.float32)], axis=0
+        )
+        win_tables = [win2d(h, packed) if h.size > 262_144 else None] + [
+            win2d(m, p) if m.size > 262_144 else None
+            for m, p in zip(mips, mip_packed)
+        ]
+        mip_hmax = []
+        cur = h
+        for m in mips:
+            cur, dil = pool_max_dilate(cur, m.shape)
+            mip_hmax.append(dil)
+        # Corner planes stacked as flat [M] vectors -> [M, 4]; stacking
+        # [n, n] planes on a new trailing axis would pad that axis to 128
+        # lanes.
+        e = jnp.roll(h, -1, axis=1)
+        s_ = jnp.roll(h, -1, axis=0)
+        se = jnp.roll(s_, -1, axis=1)
+        cell = jnp.stack(
+            [h.reshape(-1), e.reshape(-1), s_.reshape(-1), se.reshape(-1)], axis=-1
+        )
+        return dict(
+            heights=h.reshape(-1),
+            attr=attr_packed,
+            cell=cell,
+            mips=tuple(m.reshape(-1) for m in mips),
+            mip_attrs=tuple(mip_attrs),
+            mip_hmax=tuple(m.reshape(-1) for m in mip_hmax),
+            win_attr_2d=tuple(win_tables),
+            hmax=h.max(),
+        )
+
+    arrs = build_all()
+    mip_shapes = []
+    hh, ww = n, n
+    while min(hh, ww) >= 8:  # mirrors the build_all pooling loop
+        hh, ww = hh // 2, ww // 2
+        mip_shapes.append((hh, ww))
     rot = rot3[None]
     lat_c = lat_nw - ps * n / 2
     lon_c = lon_nw + ps * n / 2
@@ -83,54 +150,19 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0, r
         np.float32,
     )
     radius = np.float32(n * ps * 111_000.0)
-    pack_attr = jax.jit(
-        lambda hh, pp: jnp.stack(
-            [hh.reshape(-1), jax.lax.bitcast_convert_type(pp.reshape(-1), jnp.float32)],
-            axis=-1,
-        )
-    )
-    attr_packed = pack_attr(h, packed)
-    mip_attrs = [
-        pack_attr(m, gen_normals(m, level=lv)) for lv, m in enumerate(mips, start=1)
-    ]
-
-    def pool_max_dilate(cur, out_shape):
-        hh, ww = out_shape
-        p = cur[: 2 * hh, : 2 * ww].reshape(hh, 2, ww, 2).max(axis=(1, 3))
-        pp = jnp.pad(p, 1, mode="edge")
-        d = p
-        for dy in range(3):
-            for dx in range(3):
-                d = jnp.maximum(d, pp[dy : dy + hh, dx : dx + ww])
-        return p, d
-
-    mip_hmax = []
-    cur = h
-    for m in mips:
-        cur, dil = pool_max_dilate(cur, m.shape)
-        mip_hmax.append(dil)
     from topo_renderer_tpu.models.scene import MosaicHostData
 
-    cell = jnp.stack(
-        [
-            h,
-            jnp.roll(h, -1, axis=1),
-            jnp.roll(h, -1, axis=0),
-            jnp.roll(jnp.roll(h, -1, axis=0), -1, axis=1),
-        ],
-        axis=-1,
-    ).reshape(-1, 4)
-
     return TerrainMosaic(
-        heights_flat=h.reshape(-1),
-        attr_packed_flat=attr_packed,
-        cell_heights_flat=cell,
+        heights_flat=arrs["heights"],
+        attr_packed_flat=arrs["attr"],
+        cell_heights_flat=arrs["cell"],
         has_cell_table=True,
         shape=(n, n),
-        mip_heights_flat=tuple(m.reshape(-1) for m in mips),
-        mip_attr_flat=tuple(mip_attrs),
-        mip_hmax_flat=tuple(m.reshape(-1) for m in mip_hmax),
-        mip_shapes=tuple(m.shape for m in mips),
+        mip_heights_flat=arrs["mips"],
+        mip_attr_flat=arrs["mip_attrs"],
+        mip_hmax_flat=arrs["mip_hmax"],
+        mip_shapes=tuple(mip_shapes),
+        win_attr_2d=arrs["win_attr_2d"],
         host=MosaicHostData(
             valid=np.ones((n, n), bool),
             cell_tile=np.zeros((n, n), np.int32),
@@ -138,7 +170,7 @@ def synthetic_mosaic_device(n=2401, lat_nw=52.0, lon_nw=18.0, ps=1.0 / 1200.0, r
         ),
         model_point=jnp.array([lon_nw, lat_nw], jnp.float32),
         pixel_scale=jnp.array([ps, ps], jnp.float32),
-        hmax=h.max(),
+        hmax=arrs["hmax"],
         bound_center=jnp.asarray(center),
         bound_radius=radius,
     )

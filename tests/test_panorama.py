@@ -167,6 +167,58 @@ def test_clipmap_windows_match_full_tables():
     )
 
 
+def test_pre_extracted_windows_bitwise_equal():
+    """The two-program path (extract_clipmap_windows + render) must be
+    bit-identical to the single-program path — the extraction program slices
+    the very same windows the render would have sliced inline."""
+    import dataclasses as dc
+
+    from topo_renderer_tpu.ops.panorama import extract_clipmap_windows
+
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=500.0)
+    spec = dc.replace(
+        PanoramaSpec.fast(width=128, height=64, elev_min=-0.3, elev_max=0.1,
+                          s_near=5.0, s_far=40_000.0, n_steps=256),
+        clipmap_threshold=0,
+    )
+    sun = np.asarray(cam.sun_angle.to_vec3())
+    a = render_panorama(mosaic, cam.eye, spec, sun)
+    win = extract_clipmap_windows(mosaic, cam.eye, spec)
+    b = render_panorama(mosaic, cam.eye, spec, sun, windows=win)
+    np.testing.assert_array_equal(np.asarray(a["color"]), np.asarray(b["color"]))
+    np.testing.assert_array_equal(np.asarray(a["depth"]), np.asarray(b["depth"]))
+
+
+def test_window_2d_tables_bitwise_equal_band_path():
+    """Window extraction from the 2-D win_attr_2d copies must slice the very
+    same texels the flat-table row-band path does."""
+    import dataclasses as dc
+
+    from tests.helpers import make_tile
+    from topo_renderer_tpu.models.camera import Camera
+    from topo_renderer_tpu.ops.panorama import extract_clipmap_windows
+
+    tile = make_tile(49, 20, n=65, span_deg=0.05)
+    with_2d = build_mosaic([tile], window_table_min=0)
+    without = build_mosaic([tile], window_table_min=1 << 40)
+    assert all(w is not None for w in with_2d.win_attr_2d)
+    assert all(w is None for w in without.win_attr_2d)
+    eye = jnp.asarray(with_2d.bound_center) * (
+        1.0 + 500.0 / float(jnp.linalg.norm(with_2d.bound_center))
+    )
+    spec = dc.replace(
+        PanoramaSpec.fast(width=64, height=32, elev_min=-0.3, elev_max=0.1,
+                          s_near=5.0, s_far=40_000.0, n_steps=128),
+        clipmap_threshold=0,
+    )
+    wa = extract_clipmap_windows(with_2d, eye, spec)
+    wb = extract_clipmap_windows(without, eye, spec)
+    for (ha, aa, xa, ya), (hb, ab, xb, yb) in zip(wa, wb):
+        np.testing.assert_array_equal(np.asarray(aa), np.asarray(ab))
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+
 def test_panorama_fog_modes():
     mosaic, cam, _ = small_scene(n=33, span_deg=0.03, height_above=300.0)
     spec = PanoramaSpec(width=32, height=16, n_steps=128, n_refine=2)

@@ -126,6 +126,13 @@ class TerrainMosaic:
     hmax: Any  # f32 scalar: max height (for the ray shell bound)
     bound_center: Any  # f32[3] ECEF center of the mosaic bounding sphere
     bound_radius: Any  # f32 scalar bounding-sphere radius (meters)
+    # Optional per-level 2-D copies of the packed attribute planes,
+    # f32[2, h_l, w_l] (plane 0 = heights, plane 1 = bitcast normal bits),
+    # indexed by level (0 = base). Entry is None for levels below the build's
+    # window_table_min. Clipmap window extraction dynamic-slices these —
+    # reading exactly the window's texels — instead of slicing full-width row
+    # bands out of the flat gather tables (~50 MB/frame at 100-tile scale).
+    win_attr_2d: tuple = ()
 
     @property
     def heights(self):
@@ -191,6 +198,7 @@ jax.tree_util.register_dataclass(
         "hmax",
         "bound_center",
         "bound_radius",
+        "win_attr_2d",
     ],
     meta_fields=["shape", "mip_shapes", "host", "has_cell_table"],
 )
@@ -285,6 +293,7 @@ def build_mosaic(
     quantize_normals: bool = True,
     correct_axes: bool = False,
     exact_tables: bool = True,
+    window_table_min: int = 262_144,
 ) -> TerrainMosaic:
     """Assemble decoded tiles into one stitched mosaic (host -> device).
 
@@ -429,6 +438,13 @@ def build_mosaic(
         [heights.reshape(-1), normals_packed.reshape(-1).view(np.float32)], axis=-1
     )
 
+    # 2-D window-source copies for clipmap extraction (see TerrainMosaic).
+    win_tables = [
+        np.stack([heights, normals_packed.view(np.float32)], axis=0)
+        if heights.size > window_table_min
+        else None
+    ]
+
     # Per-level attribute tables: normals recomputed from the pooled heights
     # at the level's texel spacing (proper LOD shading), rotated by the
     # (downsampled) owning tile and packed beside the pooled height.
@@ -460,6 +476,11 @@ def build_mosaic(
             np.stack(
                 [mh.reshape(-1), packed_l.reshape(-1).view(np.float32)], axis=-1
             )
+        )
+        win_tables.append(
+            np.stack([mh, packed_l.view(np.float32)], axis=0)
+            if mh.size > window_table_min
+            else None
         )
 
     if exact_tables:
@@ -493,6 +514,9 @@ def build_mosaic(
         hmax=jnp.float32(hmax),
         bound_center=jnp.asarray(center, jnp.float32),
         bound_radius=jnp.float32(radius),
+        win_attr_2d=tuple(
+            None if w is None else jnp.asarray(w) for w in win_tables
+        ),
     )
 
 

@@ -80,7 +80,13 @@ class PanoramaSpec:
     attrs_nearest: bool = False  # nearest-texel shading attributes
     attrs_from_profile: bool = False  # shade from per-sample attrs (needs lod)
     clipmap: bool = False  # gather from eye-centered windows, not full tables
-    clipmap_threshold: int = 4_000_000  # window only tables above this size
+    # Tables above this size are windowed; smaller ones are gathered in
+    # full. Two pressures set the value: XLA cross-program-prefetches
+    # *whole* used tables into scratch each execution (so big tables left in
+    # the render program cost their full size in per-frame HBM traffic), but
+    # each extracted window also carries a fixed per-frame copy cost —
+    # windowing tiny tables measures strictly slower.
+    clipmap_threshold: int = 2_000_000
     near_bilinear_m: float = 0.0  # bilinear-sample profile steps closer than
     # this ground distance (kills nearest-texel blockiness in close-ups)
     # Fused Pallas crossing kernel (ops/pallas_crossing.py): bit-identical
@@ -169,6 +175,103 @@ def _lod_segments(spec: PanoramaSpec, n_levels: int):
     return segments
 
 
+def _clipmap_window_plan(spec: PanoramaSpec, mosaic):
+    """Static clipmap plan: [(level, use_window, wsy, wsx, table_shape)].
+
+    With a log step schedule each mip level is only ever sampled within a
+    *constant* texel radius (~2.5/dlog) of the eye, so window sizes depend on
+    the spec alone, never on the scene.
+    """
+    import numpy as _np
+
+    n_levels = len(mosaic.mip_shapes)
+    dlog = _np.log(spec.s_far / spec.s_near) / (spec.n_steps - 1)
+    need = int(_np.ceil(2.5 / dlog)) + 16
+    ws_req = 1 << max(7, int(_np.ceil(_np.log2(2.0 * need))))
+    plan = []
+    for level in range(n_levels + 1):
+        shape_l = mosaic.shape if level == 0 else mosaic.mip_shapes[level - 1]
+        h_t, w_t = shape_l
+        use_window = spec.clipmap and (h_t * w_t > spec.clipmap_threshold)
+        plan.append(
+            (level, use_window, min(ws_req, h_t), min(ws_req, w_t), shape_l)
+        )
+    return plan
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec):
+    """Slice the eye-centered clipmap windows out of the mosaic tables.
+
+    Runs as its own (tiny) XLA program so the multi-GB mosaic tables are
+    parameters of *this* program only: XLA cross-program-prefetches large
+    parameters of a program into scratch memory on every execution, which for
+    the 15 ms render program meant re-streaming entire attribute tables each
+    frame (~1.5 GB/frame at 100-tile scale). Window extraction touches only
+    wsy full-width row bands, so table size stays off the render program's
+    critical path.
+
+    Returns a tuple over levels of ``(tbl_h, tbl_a, ox, oy)`` —
+    entries are ``None`` where the level is served from the full table.
+    """
+    eye = jnp.asarray(eye, jnp.float32)
+    n_levels = len(mosaic.mip_shapes)
+    use_attr = bool(spec.attrs_from_profile and spec.lod and n_levels)
+    e_norm = jnp.linalg.norm(eye)
+    lon0 = jnp.degrees(jnp.arctan2(eye[1], eye[0]))
+    lat0 = jnp.degrees(jnp.arcsin(jnp.clip(eye[2] / e_norm, -1.0, 1.0)))
+    gx_e, gy_e = raster_from_geo(mosaic, lon0, lat0)
+
+    out = []
+    for level, use_window, wsy, wsx, (h_t, w_t) in _clipmap_window_plan(spec, mosaic):
+        if not use_window:
+            out.append((None, None, None, None))
+            continue
+        if level == 0:
+            hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
+        else:
+            hf = mosaic.mip_heights_flat[level - 1]
+            af = mosaic.mip_attr_flat[level - 1]
+        s = float(2**level)
+        off = (s - 1.0) / 2.0
+        sx = jnp.clip(
+            jnp.round((gx_e - off) / s).astype(jnp.int32) - wsx // 2, 0, w_t - wsx
+        )
+        sy = jnp.clip(
+            jnp.round((gy_e - off) / s).astype(jnp.int32) - wsy // 2, 0, h_t - wsy
+        )
+        win2d = (
+            mosaic.win_attr_2d[level]
+            if level < len(getattr(mosaic, "win_attr_2d", ()))
+            else None
+        )
+        tbl_h = tbl_a = None
+        if use_attr:
+            if win2d is not None:
+                # Preferred: slice exactly the window's texels from the 2-D
+                # copy (2 * wsy * wsx reads) instead of full-width row bands.
+                sl = jax.lax.dynamic_slice(
+                    win2d, (jnp.int32(0), sy, sx), (2, wsy, wsx)
+                )
+                tbl_a = sl.reshape(2, -1).T
+            else:
+                rows_a = jax.lax.dynamic_slice(
+                    af, (sy * w_t, 0), (wsy * w_t, 2)
+                ).reshape(wsy, w_t, 2)
+                tbl_a = jax.lax.dynamic_slice(
+                    rows_a, (jnp.int32(0), sx, jnp.int32(0)), (wsy, wsx, 2)
+                ).reshape(-1, 2)
+        else:
+            rows_h = jax.lax.dynamic_slice(hf, (sy * w_t,), (wsy * w_t,)).reshape(
+                wsy, w_t
+            )
+            tbl_h = jax.lax.dynamic_slice(
+                rows_h, (jnp.int32(0), sx), (wsy, wsx)
+            ).reshape(-1)
+        out.append((tbl_h, tbl_a, sx, sy))
+    return tuple(out)
+
+
 @partial(jax.jit, static_argnames=("spec", "quantize_rt", "apply_postprocess", "fog", "pixelize_n"))
 def render_panorama(
     mosaic,
@@ -184,6 +287,7 @@ def render_panorama(
     azimuth_offset=0.0,
     elev_offset=0.0,
     pixel_offset_x=0.0,
+    windows=None,
 ):
     """Render a cylindrical panorama around ``eye``.
 
@@ -191,7 +295,11 @@ def render_panorama(
     depth in the reference 0..1 convention, distance, hit mask).
     ``fog``: None | "distance" | "atmosphere". ``azimuth_offset`` is a traced
     extra rotation — azimuth-sharded rendering passes each shard's slice
-    offset here (`parallel/sharded.py`).
+    offset here (`parallel/sharded.py`). ``windows`` — pre-extracted clipmap
+    windows from :func:`extract_clipmap_windows`; passing them keeps the
+    multi-GB mosaic tables out of this program's *used* parameter set, which
+    stops XLA from cross-program-prefetching (re-streaming) whole tables
+    every frame. `render/engine.py` does this automatically.
     """
     eye = jnp.asarray(eye, jnp.float32)
     W, H, N = spec.width, spec.height, spec.n_steps
@@ -239,16 +347,9 @@ def render_panorama(
     if spec.lod and n_levels:
         import numpy as _np
 
-        # Eye-centered clipmap windows: with a log step schedule each mip
-        # level is only ever sampled within a *constant* texel radius
-        # (~2.5/dlog), so window size is independent of the scene and every
-        # profile gather touches a small table.
-        dlog = _np.log(spec.s_far / spec.s_near) / (spec.n_steps - 1)
-        need = int(_np.ceil(2.5 / dlog)) + 16
-        ws_req = 1 << max(7, int(_np.ceil(_np.log2(2.0 * need))))
-        gx_e, gy_e = raster_from_geo(
-            mosaic, jnp.degrees(lon0), jnp.degrees(lat0)
-        )
+        if windows is None:
+            windows = extract_clipmap_windows(mosaic, eye, spec)
+        plan = _clipmap_window_plan(spec, mosaic)
 
         parts_e, parts_attr = [], []
         segments = _lod_segments(spec, n_levels)
@@ -274,41 +375,16 @@ def render_panorama(
                 and s_np is not None
                 and s_np[k1 - 1] <= spec.near_bilinear_m
             )
+            _, use_window, wsy, wsx, (h_t, w_t) = plan[level]
             if level == 0:
-                hf, af, shape_l = (
-                    mosaic.heights_flat, mosaic.attr_packed_flat, mosaic.shape
-                )
+                hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
             else:
                 hf = mosaic.mip_heights_flat[level - 1]
                 af = mosaic.mip_attr_flat[level - 1]
-                shape_l = mosaic.mip_shapes[level - 1]
-            h_t, w_t = shape_l
             s = float(2**level)
             off = (s - 1.0) / 2.0
-            use_window = spec.clipmap and (h_t * w_t > spec.clipmap_threshold)
             if use_window:
-                wsy, wsx = min(ws_req, h_t), min(ws_req, w_t)
-                ce_x = (gx_e - off) / s
-                ce_y = (gy_e - off) / s
-                sx = jnp.clip(
-                    jnp.round(ce_x).astype(jnp.int32) - wsx // 2, 0, w_t - wsx
-                )
-                sy = jnp.clip(
-                    jnp.round(ce_y).astype(jnp.int32) - wsy // 2, 0, h_t - wsy
-                )
-                rows_h = jax.lax.dynamic_slice(
-                    hf, (sy * w_t,), (wsy * w_t,)
-                ).reshape(wsy, w_t)
-                tbl_h = jax.lax.dynamic_slice(rows_h, (jnp.int32(0), sx), (wsy, wsx)).reshape(-1)
-                if use_attr_prof:
-                    rows_a = jax.lax.dynamic_slice(
-                        af, (sy * w_t, 0), (wsy * w_t, 2)
-                    ).reshape(wsy, w_t, 2)
-                    tbl_a = jax.lax.dynamic_slice(
-                        rows_a, (jnp.int32(0), sx, jnp.int32(0)), (wsy, wsx, 2)
-                    ).reshape(-1, 2)
-                else:
-                    tbl_a = None
+                tbl_h, tbl_a, sx, sy = windows[level]
                 tw, th_, ox, oy = wsx, wsy, sx, sy
             else:
                 tbl_h = hf

@@ -34,7 +34,11 @@ from topo_renderer_tpu.models.scene import TerrainMosaic, TerrainTile, build_mos
 from topo_renderer_tpu.models.uniforms import PeakInstance
 from topo_renderer_tpu.ops import shading
 from topo_renderer_tpu.ops.labels import peak_visibility, peak_visibility_panorama
-from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
+from topo_renderer_tpu.ops.panorama import (
+    PanoramaSpec,
+    extract_clipmap_windows,
+    render_panorama,
+)
 from topo_renderer_tpu.ops.raycast import render_perspective, render_perspective_fast
 
 _FOV_BUCKETS_DEG = (30.0, 45.0, 60.0, 90.0, 120.0, 160.0)
@@ -240,9 +244,15 @@ class RenderEngine:
             if sun_direction is None:
                 raise ValueError("sun_direction required when passing a raw eye")
 
+        # Two-program rendering: window extraction runs separately so the
+        # render program never *uses* the full mosaic tables (XLA would
+        # cross-program-prefetch — i.e. re-stream — them every frame).
+        windows = None
+        if spec.lod and spec.clipmap and self.mosaic.mip_shapes:
+            windows = extract_clipmap_windows(self.mosaic, eye, spec)
         out = render_panorama(
             self.mosaic, eye, spec, sun_direction, view_mode=view_mode,
-            fog=fog, pixelize_n=pixelize_n,
+            fog=fog, pixelize_n=pixelize_n, windows=windows,
         )
 
         visible_labels: dict[GeoLocation, list] = {}
@@ -300,7 +310,9 @@ class RenderEngine:
         if spec.lod and spec.clipmap:
             outs = [
                 render_panorama(
-                    self.mosaic, eyes[i], spec, suns[i], view_mode=view_mode, fog=fog
+                    self.mosaic, eyes[i], spec, suns[i], view_mode=view_mode,
+                    fog=fog,
+                    windows=extract_clipmap_windows(self.mosaic, eyes[i], spec),
                 )["color"]
                 for i in range(eyes.shape[0])
             ]
