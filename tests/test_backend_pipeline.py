@@ -151,3 +151,47 @@ def test_task_errored_on_missing(backend):
     seen = [notes.get_nowait() for _ in range(notes.qsize())]
     assert [n.kind for n in seen] == ["task_started", "task_errored"]
     assert "Empty terrain map" in seen[1].error
+
+
+def test_fetch_retries_transient_failure(monkeypatch):
+    """A transient URLError on the first attempt must not poison the tile;
+    the bounded retry should succeed on the next attempt."""
+    import urllib.error
+
+    from topo_renderer_tpu.data import fetch as fetch_mod
+
+    calls = {"n": 0}
+
+    class _Resp:
+        headers = {}
+
+        def read(self):
+            return b"payload"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def flaky(req, timeout=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise urllib.error.URLError("connection reset")
+        return _Resp()
+
+    monkeypatch.setattr(fetch_mod.urllib.request, "urlopen", flaky)
+    monkeypatch.setattr(fetch_mod.time, "sleep", lambda s: None)
+    assert fetch_mod._get("http://x/dem", timeout=1.0) == b"payload"
+    assert calls["n"] == 2
+
+    calls["n"] = 0
+
+    def always_down(req, timeout=None):
+        calls["n"] += 1
+        raise urllib.error.URLError("refused")
+
+    monkeypatch.setattr(fetch_mod.urllib.request, "urlopen", always_down)
+    with pytest.raises(fetch_mod.FetchError):
+        fetch_mod._get("http://x/dem", timeout=1.0, retries=2)
+    assert calls["n"] == 3

@@ -27,6 +27,16 @@ import jax as _jax
 # opt into lower precision explicitly where it is safe.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Honor JAX_PLATFORMS even when an out-of-tree PJRT plugin ignores it (the
+# axon TPU plugin registers itself regardless of the env var, which silently
+# moved "hermetic CPU" runs onto the TPU tunnel). Setting the config key is
+# authoritative as long as the backend is not initialized yet.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized by the embedding process
+
 # Persistent compilation cache: render pipelines compile per image shape;
 # caching makes the second process start in milliseconds instead of minutes.
 # Opt out with TOPO_NO_COMPILE_CACHE=1.

@@ -11,6 +11,7 @@ Parity with the reference's reqwest calls
 
 from __future__ import annotations
 
+import time
 import urllib.error
 import urllib.request
 
@@ -28,21 +29,31 @@ class FetchError(RuntimeError):
     pass
 
 
-def _get(url: str, timeout: float) -> bytes | None:
+def _get(url: str, timeout: float, retries: int = 2) -> bytes | None:
+    """GET with bounded retries: a transiently-failing tile fetch (connection
+    reset, server momentarily busy) would otherwise poison the tile for the
+    whole session and surface as a misleading 'no terrain arrived' timeout."""
     headers = {"Accept-Encoding": "zstd" if _HAVE_ZSTD else "identity"}
     req = urllib.request.Request(url, headers=headers)
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            body = resp.read()
-            if resp.headers.get("Content-Encoding") == "zstd":
-                if not _HAVE_ZSTD:
-                    raise FetchError("server sent zstd but zstandard is unavailable")
-                body = zstandard.ZstdDecompressor().decompress(
-                    body, max_output_size=256 * 1024 * 1024
-                )
-    except urllib.error.URLError as e:
-        raise FetchError(f"fetch failed for {url}: {e}") from e
-    return body if body else None
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = resp.read()
+                if resp.headers.get("Content-Encoding") == "zstd":
+                    if not _HAVE_ZSTD:
+                        raise FetchError(
+                            "server sent zstd but zstandard is unavailable"
+                        )
+                    body = zstandard.ZstdDecompressor().decompress(
+                        body, max_output_size=256 * 1024 * 1024
+                    )
+            return body if body else None
+        except urllib.error.URLError as e:
+            last = e
+            if attempt < retries:
+                time.sleep(0.3 * 2**attempt)
+    raise FetchError(f"fetch failed for {url}: {last}") from last
 
 
 def get_tiff_from_http(backend_url: str, location: GeoLocation, timeout: float = 60.0) -> bytes | None:
