@@ -75,3 +75,49 @@ def test_mixed_band_renders():
     )
     assert np.isfinite(np.asarray(out["color"])).all()
     assert np.asarray(out["hit"]).mean() > 0.05
+
+
+def test_device_mosaic_build_matches_host():
+    """build_mosaic(on_device=True) must reproduce the host numpy tables:
+    heights/mips/max-pyramid/cell bitwise, packed normals to quantization
+    LSBs (f32 vs f64 intermediate rounding can flip the last bit of a
+    10-bit channel on a tiny fraction of texels)."""
+    import numpy as np
+
+    from tests.helpers import make_tile
+    from topo_renderer_tpu.models.scene import build_mosaic
+
+    tiles = [
+        make_tile(49, 20, n=49, span_deg=0.04),
+        make_tile(49, 20.04, n=49, span_deg=0.04, seed=7),
+    ]
+    a = build_mosaic(tiles)  # host
+    b = build_mosaic(tiles, on_device=True)
+    assert a.shape == b.shape and a.mip_shapes == b.mip_shapes
+    np.testing.assert_array_equal(
+        np.asarray(a.heights_flat), np.asarray(b.heights_flat)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.cell_heights_flat), np.asarray(b.cell_heights_flat)
+    )
+    for ma, mb in zip(a.mip_hmax_flat, b.mip_hmax_flat):
+        np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+    for ma, mb in zip(a.mip_heights_flat, b.mip_heights_flat):
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), rtol=1e-6)
+
+    def unpack(attr):
+        bits = np.asarray(attr)[:, 1].view(np.uint32)
+        return np.stack(
+            [bits & 0x3FF, (bits >> 10) & 0x3FF, (bits >> 20) & 0x3FF], -1
+        ).astype(np.int32)
+
+    for ta, tb in [(a.attr_packed_flat, b.attr_packed_flat)] + list(
+        zip(a.mip_attr_flat, b.mip_attr_flat)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ta)[:, 0], np.asarray(tb)[:, 0], rtol=1e-6
+        )
+        da, db = unpack(ta), unpack(tb)
+        diff = np.abs(da - db)
+        assert diff.max() <= 1, f"normal channel differs by {diff.max()} LSB"
+        assert (diff > 0).mean() < 0.02, "too many LSB flips vs host build"

