@@ -176,3 +176,151 @@ def test_overlay_primitives():
         ptr, 48, 32, glyph.ctypes.data_as(ctypes.c_char_p), 5, 5, 40, 20, 0, 0, 0
     )
     assert img[22, 42].tolist() == [0, 0, 0]
+
+
+def _minimal_tiff(tags, payload: bytes) -> bytes:
+    """Build a little-endian classic TIFF with explicit IFD entries.
+
+    ``tags`` is a list of (tag, type, count, packed_value_bytes); values longer
+    than 4 bytes are placed after the IFD. ``payload`` (pixel data) follows.
+    """
+    import io
+    import struct
+
+    buf = io.BytesIO()
+    buf.write(struct.pack("<2sHI", b"II", 42, 8))
+    n = len(tags)
+    ifd_size = 2 + 12 * n + 4
+    data_start = 8 + ifd_size
+    deferred: list[bytes] = []
+    entries: list[bytes] = []
+    for tag, typ, count, packed in tags:
+        if len(packed) <= 4:
+            entries.append(
+                struct.pack("<HHI", tag, typ, count) + packed.ljust(4, b"\0")
+            )
+        else:
+            off = data_start + sum(len(p) for p in deferred)
+            deferred.append(packed)
+            entries.append(struct.pack("<HHII", tag, typ, count, off))
+    buf.write(struct.pack("<H", n))
+    for e in sorted(entries, key=lambda b: int.from_bytes(b[:2], "little")):
+        buf.write(e)
+    buf.write(struct.pack("<I", 0))
+    for p in deferred:
+        buf.write(p)
+    buf.write(payload)
+    return buf.getvalue()
+
+
+def test_native_excess_strips_do_not_overflow():
+    """A TIFF declaring more strips than ceil(height/rows_per_strip) must not
+    write past the width*height output buffer (ADVICE r1, high severity)."""
+    import struct
+
+    w = h = 4
+    rps = 2
+    rows = np.arange(w, dtype="<f4")
+    strip = rows.tobytes()  # one 2-row strip worth of data reused 4x
+    payload = (rows.tobytes() + rows.tobytes()) * 4
+    # 4 strips: indices 2 and 3 start at y0 = 4, 6 >= height.
+    n_strips = 4
+    strip_len = 2 * w * 4
+    # payload begins right after the IFD + deferred values; compute via builder
+    # by using relative offsets: place strip offsets as a deferred array and
+    # patch afterwards. Simpler: build once to find payload start.
+    def build(payload_start):
+        offs = struct.pack(
+            "<4I", *[payload_start + i * strip_len for i in range(n_strips)]
+        )
+        cnts = struct.pack("<4I", *([strip_len] * n_strips))
+        return _minimal_tiff(
+            [
+                (256, 4, 1, struct.pack("<I", w)),
+                (257, 4, 1, struct.pack("<I", h)),
+                (258, 3, 1, struct.pack("<H", 32)),
+                (259, 3, 1, struct.pack("<H", 1)),
+                (277, 3, 1, struct.pack("<H", 1)),
+                (278, 4, 1, struct.pack("<I", rps)),
+                (273, 4, n_strips, offs),
+                (279, 4, n_strips, cnts),
+                (339, 3, 1, struct.pack("<H", 3)),
+            ],
+            payload,
+        )
+
+    probe = build(0)
+    payload_start = len(probe) - len(payload)
+    blob = build(payload_start)
+
+    lib = native.load()
+    guard = 64
+    out = np.full(w * h + guard, np.float32(-777.0), np.float32)
+    rc = lib.topo_tiff_decode(
+        blob, len(blob), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), w * h
+    )
+    assert rc == 0
+    np.testing.assert_array_equal(
+        out[: w * h].reshape(h, w), np.tile(np.arange(w, dtype=np.float32), (h, 1))
+    )
+    # The guard region past width*height must be untouched.
+    np.testing.assert_array_equal(out[w * h :], np.float32(-777.0))
+
+
+def test_native_tiled_without_tile_dims_rejected():
+    """TileOffsets without TileWidth/TileLength must be rejected, not divide
+    by zero (ADVICE r1, medium severity)."""
+    import struct
+
+    w = h = 4
+    payload = np.zeros((h, w), "<f4").tobytes()
+
+    def build(payload_start):
+        return _minimal_tiff(
+            [
+                (256, 4, 1, struct.pack("<I", w)),
+                (257, 4, 1, struct.pack("<I", h)),
+                (258, 3, 1, struct.pack("<H", 32)),
+                (259, 3, 1, struct.pack("<H", 1)),
+                (277, 3, 1, struct.pack("<H", 1)),
+                (324, 4, 1, struct.pack("<I", payload_start)),  # TileOffsets
+                (325, 4, 1, struct.pack("<I", len(payload))),  # TileByteCounts
+                (339, 3, 1, struct.pack("<H", 3)),
+            ],
+            payload,
+        )
+
+    probe = build(0)
+    blob = build(len(probe) - len(payload))
+    assert native.tiff_decode(blob) is None
+
+
+def test_native_bad_lzw_code_rejected():
+    """An LZW code beyond the current dictionary size is malformed and must
+    fail cleanly instead of walking out of the dictionary (ADVICE r1)."""
+    import struct
+
+    w = h = 4
+    # 9-bit codes, MSB first: literal 65, then invalid code 300 (> dict size).
+    #   65  = 0b001000001, 300 = 0b100101100 -> bytes 0x20 0xCB 0x00
+    bad_stream = bytes([0x20, 0xCB, 0x00])
+
+    def build(payload_start):
+        return _minimal_tiff(
+            [
+                (256, 4, 1, struct.pack("<I", w)),
+                (257, 4, 1, struct.pack("<I", h)),
+                (258, 3, 1, struct.pack("<H", 32)),
+                (259, 3, 1, struct.pack("<H", 5)),  # LZW
+                (277, 3, 1, struct.pack("<H", 1)),
+                (278, 4, 1, struct.pack("<I", h)),
+                (273, 4, 1, struct.pack("<I", payload_start)),
+                (279, 4, 1, struct.pack("<I", len(bad_stream))),
+                (339, 3, 1, struct.pack("<H", 3)),
+            ],
+            bad_stream,
+        )
+
+    probe = build(0)
+    blob = build(len(probe) - len(bad_stream))
+    assert native.tiff_decode(blob) is None

@@ -143,10 +143,13 @@ class BackgroundRunner:
         self._thread.start()
 
     def shutdown(self) -> None:
+        # Join the dispatcher first: it exits on the sentinel, guaranteeing no
+        # further pool.submit() races against pool.shutdown() (which would
+        # raise "cannot schedule new futures after shutdown" and drop events).
         self._events.put(None)
-        self._pool.shutdown(wait=True)
         if self._thread is not None:
             self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True)
 
     def drain(self, timeout: float = 60.0) -> None:
         """Wait until the queue is empty and the pool is idle (test helper)."""

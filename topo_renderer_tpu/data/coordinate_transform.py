@@ -96,8 +96,10 @@ def get_height_value_at(
     ``vec.get(index)``).
     """
     rx, ry = transform.to_raster((float(longitude), float(latitude)))
-    # Rust `as usize` truncates toward zero; negative values would wrap in Rust
-    # (huge index -> None), so reject them here.
+    # Intentional divergence: Rust float->usize `as` casts *saturate* to 0
+    # (since 1.45), so the reference returns the row/col-0 texel for slightly
+    # negative raster coords; we treat out-of-raster points as missing, which
+    # is the more correct behavior for a point outside the tile.
     if rx < 0 or ry < 0:
         return None
     ix, iy = int(rx), int(ry)

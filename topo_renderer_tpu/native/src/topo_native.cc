@@ -169,6 +169,10 @@ bool parse(Tiff* t) {
     set_error("missing strip/tile offsets");
     return false;
   }
+  if (t->tiled && (t->tile_w == 0 || t->tile_h == 0)) {
+    set_error("tiled TIFF without TileWidth/TileLength");
+    return false;
+  }
   return true;
 }
 
@@ -222,6 +226,11 @@ bool lzw_decode(const uint8_t* in, size_t in_len, std::vector<uint8_t>* out,
         emit(code);
         d.prev.push_back(prev);
         d.last.push_back(first_byte(code));
+      } else if (code > static_cast<int>(d.prev.size())) {
+        // Valid LZW only permits code == next table index (the KwKwK case);
+        // anything beyond would make `prev` walk out of the dictionary.
+        set_error("bad LZW code");
+        return false;
       } else {
         d.prev.push_back(prev);
         d.last.push_back(first_byte(prev));
@@ -413,8 +422,13 @@ int topo_tiff_decode(const uint8_t* data, size_t len, float* out,
     }
   } else {
     uint32_t rps = t.rows_per_strip == 0xFFFFFFFFu ? t.height : t.rows_per_strip;
+    if (rps == 0) rps = t.height;
     for (size_t idx = 0; idx < t.offsets.size(); ++idx) {
       uint32_t y0 = static_cast<uint32_t>(idx) * rps;
+      // More strips than ceil(height/rps) would underflow t.height - y0 and
+      // write past the caller's width*height buffer; tile bytes come from the
+      // network, so treat the excess as malformed data and stop.
+      if (y0 >= t.height) break;
       uint32_t rows = std::min(rps, t.height - y0);
       if (!decode_block(t, idx, t.width, static_cast<int>(rows), &raw)) return 1;
       for (uint32_t y = 0; y < rows; ++y) {
