@@ -150,43 +150,63 @@ def test_clipmap_windows_match_full_tables():
     LOD render exactly — the windows provably cover every sampled texel."""
     import dataclasses as dc
 
-    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=500.0)
+    # n must exceed the aligned window size (384 lanes at n_steps=256) or no
+    # level gets windowed and the test compares the full path against itself.
+    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
     kw = dict(width=128, height=64, elev_min=-0.3, elev_max=0.1,
               s_near=5.0, s_far=40_000.0, n_steps=256)
     full = PanoramaSpec.fast(clipmap=False, **kw)
     windowed = dc.replace(PanoramaSpec.fast(**kw), clipmap_threshold=0)
+    from topo_renderer_tpu.ops.panorama import _clipmap_window_plan
+    assert any(u for _, u, _, _, _ in _clipmap_window_plan(windowed, mosaic))
     sun = np.asarray(cam.sun_angle.to_vec3())
     a = render_panorama(mosaic, cam.eye, full, sun, quantize_rt=False, apply_postprocess=False)
     b = render_panorama(mosaic, cam.eye, windowed, sun, quantize_rt=False, apply_postprocess=False)
-    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
-    np.testing.assert_allclose(
-        np.asarray(a["color"]), np.asarray(b["color"]), atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(a["distance"]), np.asarray(b["distance"]), rtol=1e-5
-    )
+    # The windowed path blends the near field from quad-row tables — same
+    # math, different fusion graph, so XLA's FMA contraction may flip pixels
+    # whose crossing sits exactly on a ulp boundary. A *coverage* bug (the
+    # thing this test guards) wipes out whole image regions, not <0.1%.
+    hit_a, hit_b = np.asarray(a["hit"]), np.asarray(b["hit"])
+    assert (hit_a != hit_b).mean() < 1e-3
+    cdiff = np.abs(np.asarray(a["color"]) - np.asarray(b["color"]))
+    assert (cdiff > 1e-5).mean() < 1e-3, f"{(cdiff > 1e-5).mean():.2%} differ"
+    both = hit_a & hit_b
+    rdiff = np.abs(np.asarray(a["distance"]) - np.asarray(b["distance"]))[both]
+    rel = rdiff / np.maximum(np.asarray(a["distance"])[both], 1.0)
+    assert (rel > 1e-5).mean() < 1e-3
 
 
-def test_pre_extracted_windows_bitwise_equal():
-    """The two-program path (extract_clipmap_windows + render) must be
-    bit-identical to the single-program path — the extraction program slices
-    the very same windows the render would have sliced inline."""
+def test_pre_extracted_windows_equal():
+    """The two-program path (extract_clipmap_windows + render) must reproduce
+    the single-program path — the extraction program slices the very same
+    windows the render would have sliced inline. Not bit-exact: the quad-row
+    blend fuses differently in the two program contexts, so XLA's FMA
+    contraction perturbs the near field by ~1 ulp."""
     import dataclasses as dc
 
     from topo_renderer_tpu.ops.panorama import extract_clipmap_windows
 
-    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=500.0)
+    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
     spec = dc.replace(
         PanoramaSpec.fast(width=128, height=64, elev_min=-0.3, elev_max=0.1,
                           s_near=5.0, s_far=40_000.0, n_steps=256),
         clipmap_threshold=0,
     )
+    from topo_renderer_tpu.ops.panorama import _clipmap_window_plan
+    assert any(u for _, u, _, _, _ in _clipmap_window_plan(spec, mosaic))
     sun = np.asarray(cam.sun_angle.to_vec3())
     a = render_panorama(mosaic, cam.eye, spec, sun)
     win = extract_clipmap_windows(mosaic, cam.eye, spec)
     b = render_panorama(mosaic, cam.eye, spec, sun, windows=win)
-    np.testing.assert_array_equal(np.asarray(a["color"]), np.asarray(b["color"]))
-    np.testing.assert_array_equal(np.asarray(a["depth"]), np.asarray(b["depth"]))
+    # sRGB-quantized u8 output: allow 1/255 flips on a tiny fraction of
+    # near-field texels (FMA contraction), nothing more.
+    cdiff = np.abs(
+        np.asarray(a["color"], np.float32) - np.asarray(b["color"], np.float32)
+    )
+    assert cdiff.max() <= (1.5 / 255.0), cdiff.max()
+    assert (cdiff > 0).mean() < 0.03
+    ddiff = np.abs(np.asarray(a["depth"]) - np.asarray(b["depth"]))
+    assert ddiff.max() < 1e-5
 
 
 def test_window_2d_tables_bitwise_equal_band_path():
@@ -198,7 +218,7 @@ def test_window_2d_tables_bitwise_equal_band_path():
     from topo_renderer_tpu.models.camera import Camera
     from topo_renderer_tpu.ops.panorama import extract_clipmap_windows
 
-    tile = make_tile(49, 20, n=65, span_deg=0.05)
+    tile = make_tile(49, 20, n=320, span_deg=0.05)
     with_2d = build_mosaic([tile], window_table_min=0)
     without = build_mosaic([tile], window_table_min=1 << 40)
     assert all(w is not None for w in with_2d.win_attr_2d)
@@ -213,8 +233,10 @@ def test_window_2d_tables_bitwise_equal_band_path():
     )
     wa = extract_clipmap_windows(with_2d, eye, spec)
     wb = extract_clipmap_windows(without, eye, spec)
-    for (ha, aa, xa, ya), (hb, ab, xb, yb) in zip(wa, wb):
+    assert any(aa is not None for (_, aa, _, _, _) in wa), "no level windowed"
+    for (ha, aa, qa, xa, ya), (hb, ab, qb, xb, yb) in zip(wa, wb):
         np.testing.assert_array_equal(np.asarray(aa), np.asarray(ab))
+        np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
         np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
 

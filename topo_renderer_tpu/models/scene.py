@@ -134,6 +134,12 @@ class TerrainMosaic:
     # reading exactly the window's texels — instead of slicing full-width row
     # bands out of the flat gather tables (~50 MB/frame at 100-tile scale).
     win_attr_2d: tuple = ()
+    # Static base texel size in meters (rounded to 3 significant digits so
+    # small per-scene variation does not fragment the jit cache). The LOD
+    # step schedule (`ops/panorama.py::_lod_segments`) and the clipmap window
+    # coverage guarantee both key off the *actual* texel size; COP-90 is
+    # ~92.6 m (3 arcsec), synthetic test tiles are much finer.
+    texel_m: float = 92.6
 
     @property
     def heights(self):
@@ -201,8 +207,15 @@ jax.tree_util.register_dataclass(
         "bound_radius",
         "win_attr_2d",
     ],
-    meta_fields=["shape", "mip_shapes", "host", "has_cell_table"],
+    meta_fields=["shape", "mip_shapes", "host", "has_cell_table", "texel_m"],
 )
+
+
+def _texel_m_hint(ps_y_deg: float) -> float:
+    """Static meters-per-texel hint from the latitude pixel scale (meridian
+    arc ~111,132 m/degree), rounded to 3 significant digits for jit-cache
+    stability."""
+    return float(f"{abs(float(ps_y_deg)) * 111_132.0:.3g}")
 
 
 def build_max_mips(heights: "np.ndarray", shapes) -> list:
@@ -617,6 +630,7 @@ def build_mosaic(
             hmax=jnp.float32(hmax),
             bound_center=jnp.asarray(center, jnp.float32),
             bound_radius=jnp.float32(radius),
+            texel_m=_texel_m_hint(ps_y),
         )
 
     # ---- host (numpy) table build ----------------------------------------
@@ -728,6 +742,7 @@ def build_mosaic(
         win_attr_2d=tuple(
             None if w is None else jnp.asarray(w) for w in win_tables
         ),
+        texel_m=_texel_m_hint(ps_y),
     )
 
 

@@ -74,7 +74,8 @@ class PanoramaSpec:
     n_refine: int = 2
     # --- LOD / throughput knobs (gather count is the TPU cost driver) ----
     lod: bool = False  # sample distance-matched height mips for the profile
-    lod_texel_m: float = 92.6  # base texel size hint (3 arcsec)
+    lod_texel_m: float | None = None  # texel-size override (m); None =
+    # the mosaic's own static texel_m hint (COP-90: ~92.6 m)
     profile_stride: int = 1  # compute the profile on every k-th column
     profile_nearest: bool = False  # nearest- instead of triangle-sampling
     attrs_nearest: bool = False  # nearest-texel shading attributes
@@ -155,7 +156,17 @@ def _surface_elevation(mosaic, a0, up, h_col, sig, level: int = 0, nearest: bool
     return jnp.arctan2(y, x)
 
 
-def _lod_segments(spec: PanoramaSpec, n_levels: int):
+def _texel_m(spec: PanoramaSpec, mosaic) -> float:
+    """Effective base texel size: the spec override, else the mosaic's static
+    hint. The LOD schedule and the clipmap coverage guarantee must both use
+    the *actual* texel size or fine-grained scenes sample level 0 far beyond
+    the window radius."""
+    if spec.lod_texel_m is not None:
+        return float(spec.lod_texel_m)
+    return float(getattr(mosaic, "texel_m", 92.6))
+
+
+def _lod_segments(spec: PanoramaSpec, n_levels: int, texel_m: float):
     """Static per-step mip level from the log step schedule: level L once the
     step length reaches ~2^L base texels. Returns [(level, k0, k1), ...]."""
     import numpy as _np
@@ -164,7 +175,7 @@ def _lod_segments(spec: PanoramaSpec, n_levels: int):
     s = spec.s_near * (spec.s_far / spec.s_near) ** (k / (spec.n_steps - 1))
     ds = s * (_np.log(spec.s_far / spec.s_near) / (spec.n_steps - 1))
     level = _np.clip(
-        _np.floor(_np.log2(_np.maximum(ds / spec.lod_texel_m, 1e-6))) + 1, 0, n_levels
+        _np.floor(_np.log2(_np.maximum(ds / texel_m, 1e-6))) + 1, 0, n_levels
     ).astype(int)
     segments = []
     k0 = 0
@@ -186,17 +197,62 @@ def _clipmap_window_plan(spec: PanoramaSpec, mosaic):
 
     n_levels = len(mosaic.mip_shapes)
     dlog = _np.log(spec.s_far / spec.s_near) / (spec.n_steps - 1)
-    need = int(_np.ceil(2.5 / dlog)) + 16
-    ws_req = 1 << max(7, int(_np.ceil(_np.log2(2.0 * need))))
+    # A coarser-than-actual texel override stretches each level's sampling
+    # radius (in real texels) by the ratio; grow the windows to keep coverage.
+    ratio = max(1.0, _texel_m(spec, mosaic) / float(getattr(mosaic, "texel_m", 92.6)))
+    need = int(_np.ceil(2.5 * ratio / dlog)) + 16
+    # Window origins are aligned down to the (8, 128) HBM tiling so the
+    # Pallas DMA extraction can slice the tables in place; the extra rows/
+    # lanes keep the +/-need coverage radius under the worst alignment shift.
+    wsy_req = -(-(2 * need + 8) // 8) * 8
+    wsx_req = -(-(2 * need + 128) // 128) * 128
     plan = []
     for level in range(n_levels + 1):
         shape_l = mosaic.shape if level == 0 else mosaic.mip_shapes[level - 1]
         h_t, w_t = shape_l
-        use_window = spec.clipmap and (h_t * w_t > spec.clipmap_threshold)
-        plan.append(
-            (level, use_window, min(ws_req, h_t), min(ws_req, w_t), shape_l)
+        use_window = (
+            spec.clipmap
+            and (h_t * w_t > spec.clipmap_threshold)
+            and h_t >= wsy_req
+            and w_t >= wsx_req
         )
+        plan.append((level, use_window, wsy_req, wsx_req, shape_l))
     return plan
+
+
+def _bilinear_levels(spec: PanoramaSpec, n_levels: int, texel_m: float) -> set:
+    """Levels whose schedule segment overlaps the bilinear near field
+    (static; mirrors the segment split in `_build_lod_profile`)."""
+    if spec.near_bilinear_m <= 0.0:
+        return set()
+    import numpy as _np
+
+    s = spec.s_near * (spec.s_far / spec.s_near) ** (
+        _np.arange(spec.n_steps) / (spec.n_steps - 1)
+    )
+    k_cut = int(_np.searchsorted(s, spec.near_bilinear_m))
+    return {
+        level
+        for level, k0, k1 in _lod_segments(spec, n_levels, texel_m)
+        if k0 < k_cut
+    }
+
+
+def _quad_rows(win):
+    """Pack each texel's 2x2 bilinear neighborhood into one gather row.
+
+    ``win f32[2, wsy, wsx]`` (height + bitcast-normal planes) ->
+    ``f32[wsy*wsx, 8]`` rows (h00, b00, h01, b01, h10, b10, h11, b11) where
+    01 = east, 10 = south, 11 = southeast neighbor (edge-clamped; the
+    sampler clamps x0/y0 to size-2 so clamped texels are never blended in).
+    Built from flat planes: stacking [wsy, wsx] planes on a trailing axis
+    would pad that axis to 128 lanes (NOTES.md layout rules).
+    """
+    e = jnp.concatenate([win[:, :, 1:], win[:, :, -1:]], axis=2)
+    s_ = jnp.concatenate([win[:, 1:, :], win[:, -1:, :]], axis=1)
+    se = jnp.concatenate([s_[:, :, 1:], s_[:, :, -1:]], axis=2)
+    planes = [win[0], win[1], e[0], e[1], s_[0], s_[1], se[0], se[1]]
+    return jnp.stack([p.reshape(-1) for p in planes], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -207,13 +263,20 @@ def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec):
     parameters of *this* program only: XLA cross-program-prefetches large
     parameters of a program into scratch memory on every execution, which for
     the 15 ms render program meant re-streaming entire attribute tables each
-    frame (~1.5 GB/frame at 100-tile scale). Window extraction touches only
-    wsy full-width row bands, so table size stays off the render program's
-    critical path.
+    frame (~1.5 GB/frame at 100-tile scale). On TPU the slice itself is a
+    bounded Pallas DMA (`ops/pallas_dma.py`) reading exactly the window
+    texels, so extraction cost is independent of table size.
 
-    Returns a tuple over levels of ``(tbl_h, tbl_a, ox, oy)`` —
+    Returns a tuple over levels of ``(tbl_h, tbl_a, tbl_q, ox, oy)`` —
     entries are ``None`` where the level is served from the full table.
+    ``tbl_q f32[wsy*wsx, 8]`` packs each texel's 2x2 neighborhood
+    (h00, b00, h01, b01, h10, b10, h11, b11) so the near-field bilinear
+    sampling costs ONE row gather instead of four (row gathers of 8-32 B
+    cost the same as scalar gathers on this TPU); built only for levels
+    with a bilinear segment in the spec's schedule.
     """
+    from topo_renderer_tpu.ops.pallas_dma import dma_available, window_slice_multi
+
     eye = jnp.asarray(eye, jnp.float32)
     n_levels = len(mosaic.mip_shapes)
     use_attr = bool(spec.attrs_from_profile and spec.lod and n_levels)
@@ -222,10 +285,17 @@ def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec):
     lat0 = jnp.degrees(jnp.arcsin(jnp.clip(eye[2] / e_norm, -1.0, 1.0)))
     gx_e, gy_e = raster_from_geo(mosaic, lon0, lat0)
 
+    quad_levels = (
+        _bilinear_levels(spec, n_levels, _texel_m(spec, mosaic))
+        if use_attr
+        else set()
+    )
+    slots = {}  # level -> (sy, sx) of levels served by the batched DMA kernel
+    dma_tables, dma_origins = [], []
     out = []
     for level, use_window, wsy, wsx, (h_t, w_t) in _clipmap_window_plan(spec, mosaic):
         if not use_window:
-            out.append((None, None, None, None))
+            out.append((None, None, None, None, None))
             continue
         if level == 0:
             hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
@@ -234,33 +304,49 @@ def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec):
             af = mosaic.mip_attr_flat[level - 1]
         s = float(2**level)
         off = (s - 1.0) / 2.0
+        # Origin aligned down to the (8, 128) tiling (DMA slice requirement);
+        # the plan's window sizes carry the alignment slack.
         sx = jnp.clip(
             jnp.round((gx_e - off) / s).astype(jnp.int32) - wsx // 2, 0, w_t - wsx
         )
+        sx = (sx // 128) * 128
         sy = jnp.clip(
             jnp.round((gy_e - off) / s).astype(jnp.int32) - wsy // 2, 0, h_t - wsy
         )
+        sy = (sy // 8) * 8
         win2d = (
             mosaic.win_attr_2d[level]
             if level < len(getattr(mosaic, "win_attr_2d", ()))
             else None
         )
-        tbl_h = tbl_a = None
-        if use_attr:
-            if win2d is not None:
-                # Preferred: slice exactly the window's texels from the 2-D
-                # copy (2 * wsy * wsx reads) instead of full-width row bands.
+        tbl_h = tbl_a = tbl_q = None
+        if use_attr and win2d is not None:
+            if dma_available():
+                # One bounded DMA per level, batched below into a single
+                # kernel: reads exactly the window texels; extraction cost is
+                # independent of table size (XLA slicing re-streams whole
+                # used tables via cross-program prefetch, ~9 ms/frame at
+                # 100-tile scale).
+                slots[level] = len(dma_tables)
+                dma_tables.append(win2d)
+                dma_origins.append(jnp.stack([sy, sx]))
+            else:
                 sl = jax.lax.dynamic_slice(
                     win2d, (jnp.int32(0), sy, sx), (2, wsy, wsx)
                 )
                 tbl_a = sl.reshape(2, -1).T
-            else:
-                rows_a = jax.lax.dynamic_slice(
-                    af, (sy * w_t, 0), (wsy * w_t, 2)
-                ).reshape(wsy, w_t, 2)
-                tbl_a = jax.lax.dynamic_slice(
-                    rows_a, (jnp.int32(0), sx, jnp.int32(0)), (wsy, wsx, 2)
-                ).reshape(-1, 2)
+                if level in quad_levels:
+                    tbl_q = _quad_rows(sl)
+        elif use_attr:
+            rows_a = jax.lax.dynamic_slice(
+                af, (sy * w_t, 0), (wsy * w_t, 2)
+            ).reshape(wsy, w_t, 2)
+            sl = jax.lax.dynamic_slice(
+                rows_a, (jnp.int32(0), sx, jnp.int32(0)), (wsy, wsx, 2)
+            )
+            tbl_a = sl.reshape(-1, 2)
+            if level in quad_levels:
+                tbl_q = _quad_rows(jnp.moveaxis(sl, -1, 0))
         else:
             rows_h = jax.lax.dynamic_slice(hf, (sy * w_t,), (wsy * w_t,)).reshape(
                 wsy, w_t
@@ -268,7 +354,17 @@ def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec):
             tbl_h = jax.lax.dynamic_slice(
                 rows_h, (jnp.int32(0), sx), (wsy, wsx)
             ).reshape(-1)
-        out.append((tbl_h, tbl_a, sx, sy))
+        out.append((tbl_h, tbl_a, tbl_q, sx, sy))
+
+    if dma_tables:
+        _, _, wsy, wsx, _ = _clipmap_window_plan(spec, mosaic)[0]
+        wins = window_slice_multi(
+            tuple(dma_tables), jnp.stack(dma_origins), wsy=wsy, wsx=wsx
+        )
+        for level, slot in slots.items():
+            tbl_h, _, _, sx, sy = out[level]
+            tbl_q = _quad_rows(wins[slot]) if level in quad_levels else None
+            out[level] = (tbl_h, wins[slot].reshape(2, -1).T, tbl_q, sx, sy)
     return tuple(out)
 
 
@@ -345,131 +441,11 @@ def render_panorama(
     use_attr_prof = bool(spec.attrs_from_profile and spec.lod and n_levels)
     attr_prof = None
     if spec.lod and n_levels:
-        import numpy as _np
-
         if windows is None:
             windows = extract_clipmap_windows(mosaic, eye, spec)
-        plan = _clipmap_window_plan(spec, mosaic)
-
-        parts_e, parts_attr = [], []
-        segments = _lod_segments(spec, n_levels)
-        if spec.near_bilinear_m > 0.0:
-            # Statically split segments at the bilinear/nearest boundary.
-            s_np = spec.s_near * (spec.s_far / spec.s_near) ** (
-                _np.arange(N) / (N - 1)
-            )
-            k_cut = int(_np.searchsorted(s_np, spec.near_bilinear_m))
-            split = []
-            for level, k0, k1 in segments:
-                if k0 < k_cut < k1:
-                    split += [(level, k0, k_cut), (level, k_cut, k1)]
-                else:
-                    split.append((level, k0, k1))
-            segments = split
-        else:
-            s_np = None
-        for level, k0, k1 in segments:
-            seg_bilinear = (
-                spec.near_bilinear_m > 0.0
-                and use_attr_prof
-                and s_np is not None
-                and s_np[k1 - 1] <= spec.near_bilinear_m
-            )
-            _, use_window, wsy, wsx, (h_t, w_t) = plan[level]
-            if level == 0:
-                hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
-            else:
-                hf = mosaic.mip_heights_flat[level - 1]
-                af = mosaic.mip_attr_flat[level - 1]
-            s = float(2**level)
-            off = (s - 1.0) / 2.0
-            if use_window:
-                tbl_h, tbl_a, sx, sy = windows[level]
-                tw, th_, ox, oy = wsx, wsy, sx, sy
-            else:
-                tbl_h = hf
-                tbl_a = af if use_attr_prof else None
-                tw, th_, ox, oy = w_t, h_t, jnp.int32(0), jnp.int32(0)
-
-            sig_seg = sigma[k0:k1]
-            cs = jnp.cos(sig_seg)
-            sn = jnp.sin(sig_seg)
-            sh2 = jnp.sin(0.5 * sig_seg) ** 2
-            sdx = up[0] * cs + h_prof_b[0] * sn
-            sdy = up[1] * cs + h_prof_b[1] * sn
-            sdz = up[2] * cs + h_prof_b[2] * sn
-            lat_s = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
-            lon_s = jnp.degrees(jnp.arctan2(sdy, sdx))
-            gx0, gy0 = raster_from_geo(mosaic, lon_s, lat_s)
-            lx = (gx0 - off) / s - ox
-            ly = (gy0 - off) / s - oy
-            if seg_bilinear:
-                # Near field: bilinear height + normal (4 row gathers) so
-                # close-up texels don't render as flat blocks.
-                x0f = jnp.floor(lx)
-                y0f = jnp.floor(ly)
-                ok = (lx >= 0) & (lx <= tw - 1) & (ly >= 0) & (ly <= th_ - 1)
-                x0 = jnp.clip(x0f.astype(jnp.int32), 0, tw - 2)
-                y0 = jnp.clip(y0f.astype(jnp.int32), 0, th_ - 2)
-                fxs = jnp.clip(lx - x0, 0.0, 1.0)
-                fys = jnp.clip(ly - y0, 0.0, 1.0)
-                i00 = y0 * tw + x0
-                r00 = tbl_a[i00]
-                r01 = tbl_a[i00 + 1]
-                r10 = tbl_a[i00 + tw]
-                r11 = tbl_a[i00 + tw + 1]
-
-                def blend(v00, v01, v10, v11):
-                    return (v00 * (1 - fxs) + v01 * fxs) * (1 - fys) + (
-                        v10 * (1 - fxs) + v11 * fxs
-                    ) * fys
-
-                h = blend(r00[..., 0], r01[..., 0], r10[..., 0], r11[..., 0])
-                bbits = [
-                    jax.lax.bitcast_convert_type(r[..., 1], jnp.uint32)
-                    for r in (r00, r01, r10, r11)
-                ]
-                comps = []
-                for sh in (0, 10, 20):
-                    c = blend(
-                        *(((b >> sh) & 0x3FF).astype(jnp.float32) for b in bbits)
-                    )
-                    comps.append(jnp.where(ok, jnp.round(c), 0.0))
-                parts_attr.append(tuple(comps))
-            else:
-                ix = jnp.round(lx).astype(jnp.int32)
-                iy = jnp.round(ly).astype(jnp.int32)
-                ok = (ix >= 0) & (ix <= tw - 1) & (iy >= 0) & (iy <= th_ - 1)
-                idx = jnp.clip(iy, 0, th_ - 1) * tw + jnp.clip(ix, 0, tw - 1)
-                if use_attr_prof:
-                    # One row gather serves both the height (visibility
-                    # ratio) and the packed normal payloads.
-                    rows = tbl_a[idx]
-                    h = rows[..., 0]
-                    bits = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
-                    parts_attr.append(
-                        tuple(
-                            jnp.where(
-                                ok, ((bits >> sh) & 0x3FF).astype(jnp.float32), 0.0
-                            )
-                            for sh in (0, 10, 20)
-                        )
-                    )
-                else:
-                    h = jnp.take(tbl_h, idx)
-            ok = ok & (h > 0.5 * INVALID_HEIGHT)
-            y = h * cs - a0 - 2.0 * R0 * sh2
-            x = (R0 + h) * sn
-            # Work in ratio space: visibility ordering only needs a monotone
-            # function of elevation, and y/x == tan(e) (x > 0 along the
-            # march) — this removes one transcendental per profile sample.
-            parts_e.append(jnp.where(ok, y / x, jnp.float32(-1.0e30)))
-        e_prof = jnp.concatenate(parts_e, axis=0)  # [N, ws]
-        if use_attr_prof:
-            attr_prof = tuple(
-                jnp.concatenate([p[c] for p in parts_attr], axis=0)
-                for c in range(3)
-            )
+        e_prof, attr_prof = _build_lod_profile(
+            mosaic, spec, windows, a0, up, h_prof_b, sigma
+        )
     else:
         e_prof = _surface_elevation(
             mosaic, a0, up, h_prof_b, sigma, nearest=spec.profile_nearest
@@ -641,3 +617,149 @@ def render_panorama(
         "distance": jnp.where(hit, dist, FAR),
         "hit": hit,
     }
+
+
+def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, sigma):
+    """Sample the terrain visibility profile along the panorama ground traces.
+
+    Returns ``(e_prof, attr_prof)``: ``e_prof f32[N, ws]`` holds tan(elevation)
+    ratios per profile sample (``-1e30`` outside the mosaic), ``attr_prof`` is
+    a 3-tuple of ``f32[N, ws]`` 10-bit normal payload planes (or ``None`` when
+    the spec does not carry attributes with the profile). Each log-schedule
+    segment samples the mip level matching its step length, through the
+    eye-centered clipmap windows where the level's table is large
+    (`extract_clipmap_windows`).
+    """
+    import numpy as _np
+
+    N = spec.n_steps
+    n_levels = len(mosaic.mip_shapes)
+    use_attr_prof = bool(spec.attrs_from_profile and spec.lod and n_levels)
+    plan = _clipmap_window_plan(spec, mosaic)
+    parts_e, parts_attr = [], []
+    segments = _lod_segments(spec, n_levels, _texel_m(spec, mosaic))
+    attr_prof = None
+    if spec.near_bilinear_m > 0.0:
+        # Statically split segments at the bilinear/nearest boundary.
+        s_np = spec.s_near * (spec.s_far / spec.s_near) ** (
+            _np.arange(N) / (N - 1)
+        )
+        k_cut = int(_np.searchsorted(s_np, spec.near_bilinear_m))
+        split = []
+        for level, k0, k1 in segments:
+            if k0 < k_cut < k1:
+                split += [(level, k0, k_cut), (level, k_cut, k1)]
+            else:
+                split.append((level, k0, k1))
+        segments = split
+    else:
+        s_np = None
+    for level, k0, k1 in segments:
+        seg_bilinear = (
+            spec.near_bilinear_m > 0.0
+            and use_attr_prof
+            and s_np is not None
+            and s_np[k1 - 1] <= spec.near_bilinear_m
+        )
+        _, use_window, wsy, wsx, (h_t, w_t) = plan[level]
+        if level == 0:
+            hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
+        else:
+            hf = mosaic.mip_heights_flat[level - 1]
+            af = mosaic.mip_attr_flat[level - 1]
+        s = float(2**level)
+        off = (s - 1.0) / 2.0
+        if use_window:
+            tbl_h, tbl_a, tbl_q, sx, sy = windows[level]
+            tw, th_, ox, oy = wsx, wsy, sx, sy
+        else:
+            tbl_h = hf
+            tbl_a = af if use_attr_prof else None
+            tbl_q = None
+            tw, th_, ox, oy = w_t, h_t, jnp.int32(0), jnp.int32(0)
+
+        sig_seg = sigma[k0:k1]
+        cs = jnp.cos(sig_seg)
+        sn = jnp.sin(sig_seg)
+        sh2 = jnp.sin(0.5 * sig_seg) ** 2
+        sdx = up[0] * cs + h_prof_b[0] * sn
+        sdy = up[1] * cs + h_prof_b[1] * sn
+        sdz = up[2] * cs + h_prof_b[2] * sn
+        lat_s = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
+        lon_s = jnp.degrees(jnp.arctan2(sdy, sdx))
+        gx0, gy0 = raster_from_geo(mosaic, lon_s, lat_s)
+        lx = (gx0 - off) / s - ox
+        ly = (gy0 - off) / s - oy
+        if seg_bilinear:
+            # Near field: bilinear height + normal so close-up texels don't
+            # render as flat blocks. With a quad-row window table the whole
+            # 2x2 neighborhood arrives in ONE row gather; otherwise 4.
+            x0f = jnp.floor(lx)
+            y0f = jnp.floor(ly)
+            ok = (lx >= 0) & (lx <= tw - 1) & (ly >= 0) & (ly <= th_ - 1)
+            x0 = jnp.clip(x0f.astype(jnp.int32), 0, tw - 2)
+            y0 = jnp.clip(y0f.astype(jnp.int32), 0, th_ - 2)
+            fxs = jnp.clip(lx - x0, 0.0, 1.0)
+            fys = jnp.clip(ly - y0, 0.0, 1.0)
+            i00 = y0 * tw + x0
+            if tbl_q is not None:
+                q = tbl_q[i00]
+                r00, r01, r10, r11 = q[..., 0:2], q[..., 2:4], q[..., 4:6], q[..., 6:8]
+            else:
+                r00 = tbl_a[i00]
+                r01 = tbl_a[i00 + 1]
+                r10 = tbl_a[i00 + tw]
+                r11 = tbl_a[i00 + tw + 1]
+
+            def blend(v00, v01, v10, v11):
+                return (v00 * (1 - fxs) + v01 * fxs) * (1 - fys) + (
+                    v10 * (1 - fxs) + v11 * fxs
+                ) * fys
+
+            h = blend(r00[..., 0], r01[..., 0], r10[..., 0], r11[..., 0])
+            bbits = [
+                jax.lax.bitcast_convert_type(r[..., 1], jnp.uint32)
+                for r in (r00, r01, r10, r11)
+            ]
+            comps = []
+            for sh in (0, 10, 20):
+                c = blend(
+                    *(((b >> sh) & 0x3FF).astype(jnp.float32) for b in bbits)
+                )
+                comps.append(jnp.where(ok, jnp.round(c), 0.0))
+            parts_attr.append(tuple(comps))
+        else:
+            ix = jnp.round(lx).astype(jnp.int32)
+            iy = jnp.round(ly).astype(jnp.int32)
+            ok = (ix >= 0) & (ix <= tw - 1) & (iy >= 0) & (iy <= th_ - 1)
+            idx = jnp.clip(iy, 0, th_ - 1) * tw + jnp.clip(ix, 0, tw - 1)
+            if use_attr_prof:
+                # One row gather serves both the height (visibility
+                # ratio) and the packed normal payloads.
+                rows = tbl_a[idx]
+                h = rows[..., 0]
+                bits = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
+                parts_attr.append(
+                    tuple(
+                        jnp.where(
+                            ok, ((bits >> sh) & 0x3FF).astype(jnp.float32), 0.0
+                        )
+                        for sh in (0, 10, 20)
+                    )
+                )
+            else:
+                h = jnp.take(tbl_h, idx)
+        ok = ok & (h > 0.5 * INVALID_HEIGHT)
+        y = h * cs - a0 - 2.0 * R0 * sh2
+        x = (R0 + h) * sn
+        # Work in ratio space: visibility ordering only needs a monotone
+        # function of elevation, and y/x == tan(e) (x > 0 along the
+        # march) — this removes one transcendental per profile sample.
+        parts_e.append(jnp.where(ok, y / x, jnp.float32(-1.0e30)))
+    e_prof = jnp.concatenate(parts_e, axis=0)  # [N, ws]
+    if use_attr_prof:
+        attr_prof = tuple(
+            jnp.concatenate([p[c] for p in parts_attr], axis=0)
+            for c in range(3)
+        )
+    return e_prof, attr_prof
