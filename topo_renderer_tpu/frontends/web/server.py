@@ -1,38 +1,112 @@
-"""Web frontend: browser UI over server-side TPU rendering.
+"""Web frontend: interactive browser free-fly over server-side TPU rendering.
 
 Counterpart of `topo-renderer-web` (`topo-renderer-web/src/lib.rs:21-140`,
 `index.html:228-330`) — reinterpreted for TPU: instead of wasm+WebGPU in the
-browser, the browser posts viewpoints and the server renders frames on the
-TPU. Feature parity:
+browser, the browser streams input events to the server and the server
+renders frames on the TPU. Feature parity:
+
   * ``set_location(latitude, longitude)`` — the form posts the same fields
     the reference's JS form does (`index.html:299-314`);
-  * status line driven by background-task notifications
-    (`lib.rs:111-119`);
+  * interactive free-fly navigation: the full `CameraController` state
+    machine (keyboard WASD/QE/Shift/Space, right-mouse look, Ctrl-mouse sun
+    drag, single/multi-touch pinch — `camera_controller.rs:88-470`) runs
+    server-side per session, fed by JSON input events from the browser;
+  * status line driven by background-task notifications (`lib.rs:111-119`);
   * toast-style error reporting for failed tiles (`lib.rs:94-104`).
 
 Endpoints:
-  GET  /                 — UI page
-  GET  /render?latitude=..&longitude=..&width=..&height=..&panorama=1&fog=..
-                         — rendered PNG (triggers tile streaming on demand)
-  GET  /status           — JSON task counters
+  GET  /                  — UI page (interactive canvas + location form)
+  POST /session           — new free-fly session -> {"id", "camera"}
+  POST /frame?session=ID  — body {"events": [...], "width", "height"}:
+                            apply input, integrate camera, render one fast
+                            frame -> JPEG (or 204 when nothing changed)
+  POST /location          — body {"latitude", "longitude"}: stream tiles,
+                            notification-driven readiness (no fixed sleeps),
+                            respawn session cameras at terrain + 50 m
+  GET  /render?...        — one-shot PNG (cached per location/spec/tile-set)
+  GET  /status            — JSON task counters + errors
 """
 
 from __future__ import annotations
 
 import json
+import math
 import threading
 import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
+import numpy as np
+
 from topo_renderer_tpu.app.application import Application
 from topo_renderer_tpu.config import Settings
+from topo_renderer_tpu.control.camera_controller import CameraController
+from topo_renderer_tpu.control.events import (
+    CursorLeft,
+    Key,
+    KeyInput,
+    MouseButtonInput,
+    MouseMotion,
+    TouchInput,
+    TouchPhase,
+)
 from topo_renderer_tpu.geo import GeoCoord
+from topo_renderer_tpu.ops.geometry import R0
 from topo_renderer_tpu.ops.panorama import PanoramaSpec
-from topo_renderer_tpu.utils.imageio import encode_png
+from topo_renderer_tpu.utils.imageio import encode_jpeg, encode_png
 
 INDEX_HTML = (Path(__file__).parent / "index.html").read_text(encoding="utf-8")
+
+SESSION_IDLE_TIMEOUT_S = 600.0
+MAX_FRAME_DT_S = 0.1  # clamp stalls so a delayed frame can't teleport the eye
+
+
+def _parse_input_event(d: dict):
+    """JSON wire event -> controller event (events.py types)."""
+    t = d.get("type")
+    if t == "key":
+        return KeyInput(Key(d["key"]), bool(d["pressed"])), False
+    if t == "mouse_button":
+        return MouseButtonInput(str(d["button"]), bool(d["pressed"])), False
+    if t == "mouse_motion":
+        return MouseMotion(float(d["dx"]), float(d["dy"])), True
+    if t == "touch":
+        return (
+            TouchInput(
+                TouchPhase(d["phase"]), int(d["id"]), float(d["x"]), float(d["y"])
+            ),
+            False,
+        )
+    if t == "cursor_left":
+        return CursorLeft(), False
+    raise ValueError(f"unknown input event type: {t!r}")
+
+
+def _camera_state(camera) -> dict:
+    eye = np.asarray(camera.eye, np.float64)
+    r = float(np.linalg.norm(eye))
+    return {
+        "latitude": math.degrees(math.asin(max(-1.0, min(1.0, eye[2] / r)))),
+        "longitude": math.degrees(math.atan2(eye[1], eye[0])),
+        "altitude": r - R0,
+        "fov_deg": math.degrees(float(camera.fov_y)),
+        "pitch": float(camera.pitch),
+        "yaw": float(camera.yaw),
+        "view_mode": int(camera.view_mode),
+    }
+
+
+class _Session:
+    """Per-browser free-fly state: its own controller + camera."""
+
+    def __init__(self, camera, speed: float):
+        self.controller = CameraController(speed)
+        self.camera = camera
+        self.lock = threading.Lock()
+        self.last_frame_t = time.monotonic()
+        self.last_seen = time.monotonic()
 
 
 class WebFrontend:
@@ -43,6 +117,8 @@ class WebFrontend:
         # across ThreadingHTTPServer handler threads.
         self._render_lock = threading.Lock()
         self._status = {"running": 0, "errors": [], "loaded": 0}
+        self._sessions: dict[str, _Session] = {}
+        self._render_cache: dict[tuple, bytes] = {}
         self._notes = self.app.subscribe_to_background_notifications()
         threading.Thread(target=self._watch_notifications, daemon=True).start()
         frontend = self
@@ -51,12 +127,21 @@ class WebFrontend:
             def log_message(self, fmt, *args):
                 pass
 
-            def _send(self, code, body: bytes, ctype: str):
+            def _send(self, code, body: bytes = b"", ctype: str = "text/plain",
+                      headers: dict | None = None):
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
-                self.wfile.write(body)
+                if body:
+                    self.wfile.write(body)
+
+            def _body_json(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b"{}"
+                return json.loads(raw or b"{}")
 
             def do_GET(self):
                 url = urlparse(self.path)
@@ -76,6 +161,36 @@ class WebFrontend:
                 else:
                     self._send(404, b"not found", "text/plain")
 
+            def do_POST(self):
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                try:
+                    if url.path == "/session":
+                        body = json.dumps(frontend.new_session()).encode()
+                        self._send(200, body, "application/json")
+                    elif url.path == "/frame":
+                        sid = q.get("session", [""])[0]
+                        jpg, state, changed = frontend.frame(sid, self._body_json())
+                        if jpg is None:
+                            self._send(
+                                204, b"", "text/plain",
+                                {"X-Camera-State": json.dumps(state)},
+                            )
+                        else:
+                            self._send(
+                                200, jpg, "image/jpeg",
+                                {"X-Camera-State": json.dumps(state)},
+                            )
+                    elif url.path == "/location":
+                        body = frontend.set_location(self._body_json())
+                        self._send(200, json.dumps(body).encode(), "application/json")
+                    else:
+                        self._send(404, b"not found", "text/plain")
+                except KeyError as e:
+                    self._send(410, f"unknown session {e}".encode(), "text/plain")
+                except Exception as e:
+                    self._send(500, str(e).encode(), "text/plain")
+
         self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
 
     def _watch_notifications(self):
@@ -85,8 +200,103 @@ class WebFrontend:
                 self._status["running"] = note.running
                 if note.kind == "task_errored":
                     self._status["errors"] = (self._status["errors"] + [note.error])[-5:]
+                elif note.kind == "task_finished":
+                    # New tile: cached one-shot renders are stale.
+                    self._render_cache.clear()
 
-    # ---- rendering -------------------------------------------------------
+    # ---- sessions ----------------------------------------------------------
+
+    def new_session(self) -> dict:
+        with self._render_lock:
+            self.app.pump_events()
+            camera = self.app.data.camera
+        sid = uuid.uuid4().hex[:16]
+        with self._lock:
+            self._gc_sessions()
+            self._sessions[sid] = _Session(camera, self.app.camera_controller.speed)
+        return {"id": sid, "camera": _camera_state(camera)}
+
+    def _gc_sessions(self):
+        now = time.monotonic()
+        for sid in [
+            s for s, v in self._sessions.items()
+            if now - v.last_seen > SESSION_IDLE_TIMEOUT_S
+        ]:
+            del self._sessions[sid]
+
+    def frame(self, sid: str, body: dict):
+        """Apply input events, integrate the camera, render one fast frame.
+
+        Returns ``(jpeg|None, camera_state, changed)`` — None when the camera
+        did not change and the client sent no ``force`` flag (HTTP 204; the
+        browser keeps showing the previous frame).
+        """
+        with self._lock:
+            sess = self._sessions[sid]
+        width = int(body.get("width", 800))
+        height = int(body.get("height", 450))
+        width = max(64, min(2048, width))
+        height = max(64, min(1152, height))
+        with sess.lock:
+            sess.last_seen = time.monotonic()
+            for d in body.get("events", ()):
+                ev, is_device = _parse_input_event(d)
+                if is_device:
+                    sess.controller.process_device_event(ev)
+                else:
+                    sess.controller.process_event(ev)
+            now = time.monotonic()
+            dt = min(now - sess.last_frame_t, MAX_FRAME_DT_S)
+            sess.last_frame_t = now
+            cam, changed = sess.controller.update_camera(
+                sess.camera, (width, height), dt
+            )
+            sess.camera = cam
+        state = _camera_state(cam)
+        if not changed and not body.get("force"):
+            return None, state, False
+        with self._render_lock:
+            self.app.pump_events()
+            with self._lock:
+                self._status["loaded"] = len(self.app.engine.loaded_locations)
+            if not self.app.engine.loaded_locations:
+                raise RuntimeError("no terrain loaded yet")
+            res = self.app.engine.render(
+                cam, width, height, fast=True,
+                with_labels=bool(body.get("labels", True)),
+            )
+        return encode_jpeg(res.color), state, True
+
+    # ---- location streaming ------------------------------------------------
+
+    def set_location(self, body: dict) -> dict:
+        """`set_location` semantics (`lib.rs:26-36`): stream the 100 km tile
+        neighborhood, wait for readiness via background notifications (no
+        fixed sleeps), respawn cameras at terrain + 50 m."""
+        lat = float(body["latitude"])
+        lon = float(body["longitude"])
+        with self._render_lock:
+            self.app.change_location(GeoCoord(lat, lon))
+        self.app.wait_for_terrain()
+        try:
+            # Readiness is notification-driven: drain() returns as soon as
+            # the fetch pool goes idle (all tiles arrived or errored).
+            self.app.background.drain(timeout=30.0)
+        except TimeoutError:
+            pass  # render whatever has arrived; stragglers show up later
+        with self._render_lock:
+            self.app.pump_events()
+            camera = self.app.data.camera
+            loaded = len(self.app.engine.loaded_locations)
+        with self._lock:
+            self._status["loaded"] = loaded
+            self._render_cache.clear()
+            for sess in self._sessions.values():
+                with sess.lock:
+                    sess.camera = camera
+        return {"ok": True, "loaded": loaded, "camera": _camera_state(camera)}
+
+    # ---- one-shot rendering ------------------------------------------------
 
     def render(self, q: dict) -> bytes:
         lat = float(q.get("latitude", ["49.35135"])[0])
@@ -98,24 +308,38 @@ class WebFrontend:
 
         location = GeoCoord(lat, lon)
         with self._render_lock:
-            # set_location semantics (`lib.rs:26-36`): stream tiles + reset
-            # camera.
-            self.app.change_location(location)
-            self.app.wait_for_terrain()
-            t0 = time.time()
-            while time.time() - t0 < 1.0:
-                self.app.pump_events()
-                time.sleep(0.05)
+            if self.app.data.current_location != location:
+                self.app.change_location(location)
+        self.app.wait_for_terrain()
+        try:
+            self.app.background.drain(timeout=30.0)
+        except TimeoutError:
+            pass
+
+        with self._render_lock:
+            self.app.pump_events()
             with self._lock:
                 self._status["loaded"] = len(self.app.engine.loaded_locations)
-
+            key = (
+                round(lat, 6), round(lon, 6), width, height, panorama, fog,
+                tuple(sorted(self.app.engine.loaded_locations, key=str)),
+            )
+            with self._lock:
+                cached = self._render_cache.get(key)
+            if cached is not None:
+                return cached
             cam = self.app.data.camera
             if panorama:
                 spec = PanoramaSpec.fast(width=width, height=height)
                 res = self.app.engine.render_panorama(cam, spec, fog=fog)
             else:
                 res = self.app.engine.render(cam, width, height, fast=True)
-            return encode_png(res.color)
+            png = encode_png(res.color)
+            with self._lock:
+                self._render_cache[key] = png
+                while len(self._render_cache) > 32:
+                    self._render_cache.pop(next(iter(self._render_cache)))
+            return png
 
     def serve_forever(self):
         self._httpd.serve_forever()

@@ -30,3 +30,17 @@ def encode_png(image_u8: np.ndarray) -> bytes:
     buf = io.BytesIO()
     Image.fromarray(np.asarray(image_u8), "RGB").save(buf, format="PNG")
     return buf.getvalue()
+
+
+def encode_jpeg(image_u8: np.ndarray, quality: int = 85) -> bytes:
+    """JPEG for the interactive frame stream: ~10x smaller and much faster
+    to encode than PNG at streaming rates."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(image_u8), "RGB").save(
+        buf, format="JPEG", quality=quality
+    )
+    return buf.getvalue()
