@@ -203,14 +203,15 @@ def main():
 
     def run1():
         return render_perspective(
-            mosaic, cam, width=800, height=450, n_steps=1024, n_refine=24
+            mosaic, cam, width=800, height=450, n_steps=1024, n_refine=24,
+            guided=True,
         )["color"]
 
     ms1 = _sustained_ms(run1, reps=3)
     configs.append(
         {
             "config": 1,
-            "metric": "ms per exact-parity 800x450 perspective frame",
+            "metric": "ms per exact 800x450 perspective frame (guided march)",
             "value": round(ms1, 1),
             "unit": "ms",
             "target": None,

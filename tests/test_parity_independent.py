@@ -1,0 +1,317 @@
+"""Independent parity evidence for BASELINE config 1 (VERDICT round-1 gap #1).
+
+Round-1 parity claims all routed through `tests/raster_oracle.py`, which was
+written by reading the same WGSL/Rust the renderer was written from — a
+shared misreading would pass both. This module supplies evidence with
+*independent* derivations:
+
+  1. Camera matrices against glam semantics computed separately (float64
+     numpy straight from glam's documented `look_to_rh` / `perspective_rh` /
+     `Quat::from_rotation_arc` definitions) AND against a frozen literal
+     fixture, so a later regression in `ops/mathx.py` cannot re-derive its
+     way past the test.
+  2. The `hash12n` dither hash against hand-derived f32 evaluations (frozen
+     literals) and an elementwise f32 numpy re-implementation.
+  3. A SECOND rasterizer oracle (`tests/raster_oracle2.py`) written from the
+     reference WGSL/pipeline alone — deliberately without consulting
+     `raster_oracle.py` — compared texel-for-texel against the first oracle
+     and against the ray-marched renderer.
+
+Reference: `topo-renderer/src/data/camera.rs:99-128`,
+`resources/shaders/render_shader.wgsl:47-115`,
+`src/render/render_buffer.rs:185-219`, `src/render/pipeline.rs:222-229`.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from tests.helpers import east_at, small_scene, yaw_towards
+from tests.raster_oracle import rasterize
+from tests.raster_oracle2 import _hash12n, dither_rgb, rasterize2
+from topo_renderer_tpu.models.camera import Camera, ViewMode
+
+R0 = 6_371_000.0
+
+
+# ---------------------------------------------------------------------------
+# 1. Camera matrices vs independent glam semantics
+# ---------------------------------------------------------------------------
+
+def _glam_look_to_rh(eye, dirv, up):
+    """glam `Mat4::look_to_rh` (row form, acting on column vectors)."""
+    f = dirv / np.linalg.norm(dirv)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    return np.array(
+        [
+            [s[0], s[1], s[2], -eye @ s],
+            [u[0], u[1], u[2], -eye @ u],
+            [-f[0], -f[1], -f[2], eye @ f],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+
+
+def _glam_perspective_rh(fov_y, aspect, near, far):
+    """glam `Mat4::perspective_rh` — wgpu/Metal 0..1 depth convention."""
+    h = np.cos(0.5 * fov_y) / np.sin(0.5 * fov_y)
+    w = h / aspect
+    r = far / (near - far)
+    return np.array(
+        [
+            [w, 0.0, 0.0, 0.0],
+            [0.0, h, 0.0, 0.0],
+            [0.0, 0.0, r, r * near],
+            [0.0, 0.0, -1.0, 0.0],
+        ]
+    )
+
+
+def _glam_quat_from_rotation_arc(f, t):
+    c = np.cross(f, t)
+    q = np.array([c[0], c[1], c[2], 1.0 + f @ t])
+    return q / np.linalg.norm(q)
+
+
+def _glam_quat_rotate(q, v):
+    xyz, w = q[:3], q[3]
+    return v + 2.0 * np.cross(xyz, np.cross(xyz, v) + w * v)
+
+
+def _reference_view_proj(eye, pitch, yaw, fov_y, width, height):
+    """`camera.rs:99-128` recomputed in float64 from glam semantics."""
+    up = eye / np.linalg.norm(eye)
+    q = _glam_quat_from_rotation_arc(np.array([0.0, -1.0, 0.0]), up)
+    d = _glam_quat_rotate(
+        q,
+        np.array(
+            [
+                np.cos(yaw) * np.cos(pitch),
+                np.sin(pitch),
+                np.sin(yaw) * np.cos(pitch),
+            ]
+        ),
+    )
+    view = _glam_look_to_rh(eye, d, up)
+    proj = _glam_perspective_rh(fov_y, width / height, 50.0, 500_000.0)
+    return proj @ view
+
+
+# Frozen literal: Tatra-ish eye, pitch=-0.11, yaw=0.73, 45 deg fov, 800x450,
+# computed once from the formulas above in float64 (see module docstring).
+_EYE_FIX = np.array([3896136.2335817013, 1434378.4531906778, 4835654.924805441])
+_VP_FIX = np.array(
+    [
+        [1.0745568143504804e00, -2.1417673358114925e-01,
+         -8.0225105139518549e-01, 2.6792327283257007e-10],
+        [1.4704291388314901e00, 2.8522372317299938e-01,
+         1.8933865691297185e00, -1.5293875097146481e07],
+        [5.3901636635912249e-02, 9.8048978726995850e-01,
+         -1.8956376402488473e-01, -6.9978659990898229e05],
+        [5.3896246472248666e-02, 9.8039173829123161e-01,
+         -1.8954480764848225e-01, -6.9966662124899146e05],
+    ]
+)
+
+
+def test_view_proj_matches_frozen_glam_fixture():
+    cam = Camera(
+        eye=jnp.asarray(_EYE_FIX, jnp.float32),
+        pitch=-0.11,
+        yaw=0.73,
+        fov_y=np.radians(45.0),
+    )
+    vp = np.asarray(cam.build_view_proj_matrix(800.0, 450.0), np.float64)
+    rel = np.abs(vp - _VP_FIX) / np.maximum(np.abs(_VP_FIX), 1.0)
+    assert rel.max() < 1e-5, f"max rel err {rel.max():.2e}"
+
+
+def test_view_proj_matches_glam_semantics_other_configs():
+    """Sweep several camera configs against the float64 glam recomputation."""
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        lat = rng.uniform(-70, 70)
+        lon = rng.uniform(-179, 179)
+        alt = rng.uniform(100, 8000)
+        pitch = rng.uniform(-1.2, 1.2)
+        yaw = rng.uniform(-np.pi, np.pi)
+        fov = np.radians(rng.uniform(15, 140))
+        w, h = 640.0, 400.0
+        la, lo = np.radians(lat), np.radians(lon)
+        r = R0 + alt
+        eye = np.array(
+            [r * np.cos(la) * np.cos(lo), r * np.cos(la) * np.sin(lo), r * np.sin(la)]
+        )
+        want = _reference_view_proj(eye, pitch, yaw, fov, w, h)
+        cam = Camera(
+            eye=jnp.asarray(eye, jnp.float32), pitch=pitch, yaw=yaw, fov_y=fov
+        )
+        got = np.asarray(cam.build_view_proj_matrix(w, h), np.float64)
+        # Rotation block: entrywise (well-conditioned).
+        rel = np.abs(got[:, :3] - want[:, :3]) / np.maximum(
+            np.abs(want[:, :3]), 1.0
+        )
+        assert rel.max() < 2e-5, (lat, lon, pitch, yaw, rel.max())
+        # Translation column entries are dot products of ECEF-magnitude
+        # vectors (f32 absolute error ~|eye| * ulp); compare the observable
+        # instead: ndc of points near the eye.
+        pts = eye[None, :] * (1.0 + 1e-9) + rng.normal(0, 2e4, (16, 3))
+        ph = np.concatenate([pts, np.ones((16, 1))], axis=1)
+        cg = ph @ got.T
+        cw = ph @ want.T
+        in_front = (cw[:, 3] > 1e3) & (cg[:, 3] > 1e3)
+        nd_g = cg[in_front, :3] / cg[in_front, 3:4]
+        nd_w = cw[in_front, :3] / cw[in_front, 3:4]
+        assert in_front.sum() >= 4
+        # Tolerance scales with |ndc| (points far outside the frustum
+        # amplify the f32 translation rounding linearly).
+        tol = 1e-3 * np.maximum(1.0, np.abs(nd_w))
+        assert (np.abs(nd_g - nd_w) < tol).all(), (lat, lon, pitch, yaw)
+
+
+# ---------------------------------------------------------------------------
+# 2. hash12n dither fixtures
+# ---------------------------------------------------------------------------
+
+# Hand-derived f32 evaluations of `render_shader.wgsl:75-79`. The large-seed
+# case exercises the f32 precision collapse real ECEF-scale seeds produce
+# (the product reaches ~7e4 where the f32 ulp is 2^-7, so fract() lands on
+# multiples of 1/128 — a faithful property of the reference, not a bug).
+_HASH_FIXTURES = [
+    ((0.5, 0.5), 0.1796875),
+    ((123.25, -77.5), 0.578125),
+    ((3896536.5, 1434257.75), 0.0),
+    ((0.0, 0.0), 0.0),
+    ((-1.5, 2.25), 0.75),
+]
+
+
+def test_hash12n_frozen_values():
+    from topo_renderer_tpu.ops.shading import hash12n
+
+    seeds = np.array([s for s, _ in _HASH_FIXTURES], np.float32)
+    want = np.array([v for _, v in _HASH_FIXTURES], np.float32)
+    got = np.asarray(hash12n(jnp.asarray(seeds)))
+    np.testing.assert_array_equal(got, want)
+    # The independent numpy f32 evaluation agrees too.
+    np.testing.assert_array_equal(_hash12n(seeds), want)
+
+
+def test_hash_and_dither_grid_agreement():
+    """Elementwise f32 agreement between the repo hash/dither and the
+    independent numpy implementation across a dense seed grid spanning
+    pixel-scale and ECEF-scale magnitudes."""
+    from topo_renderer_tpu.ops.shading import dither_rgb as repo_dither
+    from topo_renderer_tpu.ops.shading import hash12n
+
+    rng = np.random.default_rng(11)
+    seeds = np.concatenate(
+        [
+            rng.uniform(-2000, 2000, (512, 2)),
+            rng.uniform(-5e6, 5e6, (512, 2)),
+        ]
+    ).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(hash12n(jnp.asarray(seeds))), _hash12n(seeds), atol=2e-6
+    )
+    color = rng.uniform(0, 1, (1024, 3)).astype(np.float32)
+    got = np.asarray(repo_dither(jnp.asarray(color), jnp.asarray(seeds)))
+    want = dither_rgb(color, seeds)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# 3. Second oracle vs first oracle vs renderer
+# ---------------------------------------------------------------------------
+
+def _scene_and_vp(W, H):
+    mosaic, cam, tile = small_scene(n=49, span_deg=0.04, height_above=500.0)
+    cam = dataclasses.replace(
+        cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.1,
+        view_mode=ViewMode.NORMALS,
+    )
+    vp = np.asarray(cam.build_view_proj_matrix(float(W), float(H)), np.float64)
+    return mosaic, cam, vp
+
+
+def test_oracle2_matches_oracle1_texel_for_texel():
+    W, H = 160, 100
+    mosaic, cam, vp = _scene_and_vp(W, H)
+    c1, d1, _ = rasterize(
+        np.asarray(mosaic.heights),
+        np.asarray(mosaic.normals),
+        np.asarray(mosaic.cell_tile),
+        np.asarray(mosaic.model_point),
+        np.asarray(mosaic.pixel_scale),
+        vp,
+        np.asarray(cam.eye, np.float64),
+        np.asarray(cam.sun_angle.to_vec3(), np.float64),
+        W,
+        H,
+    )
+    c2, d2 = rasterize2(
+        np.asarray(mosaic.heights),
+        np.asarray(mosaic.normals),
+        (0.0, 0.0),
+        np.asarray(mosaic.model_point),
+        np.asarray(mosaic.pixel_scale),
+        vp,
+        np.asarray(cam.eye, np.float64),
+        np.asarray(cam.sun_angle.to_vec3(), np.float64),
+        W,
+        H,
+        view_mode=1,  # oracle1 omits dither by design
+    )
+    hit1 = d1 < 1.0
+    hit2 = d2 < 1.0
+    assert hit1.mean() > 0.2  # scene sanity
+    # Hit masks may differ only on fill-rule/clipping edge pixels.
+    flips = (hit1 != hit2).mean()
+    assert flips < 0.005, f"{flips:.2%} coverage flips between oracles"
+    both = hit1 & hit2
+    err = np.abs(c1 - c2).max(axis=-1)[both]
+    assert (err > 1.0 / 255.0).mean() < 0.005
+    # Oracle1 shades in float64; oracle2 in f32 like the GPU — interior
+    # pixels agree to ~1e-4 (0.03/255), far inside the 2/255 parity budget.
+    assert np.median(err) < 5e-4
+    # Depth: oracle1 projects with a float64 matrix; oracle2 (like the GPU,
+    # which uploads Uniforms as f32) quantizes the ECEF-scale translation
+    # entries to f32, shifting ndc z by ~ulp(7e5)/clip_w ~ 2e-4. Compare at
+    # that hardware-class tolerance.
+    dz = np.abs(d1 - d2)[both]
+    assert np.median(dz) < 5e-4
+    assert (dz > 2e-3).mean() < 0.005
+
+
+def test_renderer_matches_oracle2():
+    """The ray-marched renderer against the WGSL-only oracle — the round-2
+    independent replacement for round 1's single-oracle parity claim."""
+    from topo_renderer_tpu.ops.raycast import render_perspective
+
+    W, H = 160, 100
+    mosaic, cam, vp = _scene_and_vp(W, H)
+    out = render_perspective(
+        mosaic, cam, width=W, height=H, n_steps=768, n_refine=26,
+        quantize_rt=False, apply_postprocess=False,
+    )
+    got = np.asarray(out["color"])
+    c2, d2 = rasterize2(
+        np.asarray(mosaic.heights),
+        np.asarray(mosaic.normals),
+        (0.0, 0.0),
+        np.asarray(mosaic.model_point),
+        np.asarray(mosaic.pixel_scale),
+        vp,
+        np.asarray(cam.eye, np.float64),
+        np.asarray(cam.sun_angle.to_vec3(), np.float64),
+        W,
+        H,
+        view_mode=1,  # reference quirk: mode 1 ("Normals") = undithered lin
+    )
+    err = np.abs(got - c2).max(axis=-1)
+    frac_bad = (err > 2.0 / 255.0).mean()
+    assert frac_bad < 0.02, f"{frac_bad:.2%} pixels differ by >2/255"
+    assert np.median(err) < 1.0 / 1020.0

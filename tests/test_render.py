@@ -182,3 +182,51 @@ def test_render_view_mode_position():
     color = np.asarray(out["color"])[hit]
     # Normal visualisation: 0.5*(n+1) with |n| ~ 1 -> values in [0, 1].
     assert color.min() >= -1e-5 and color.max() <= 1.0 + 1e-5
+
+
+def test_march_guided_matches_uniform():
+    """The prepass-guided march must agree with the uniform exact march away
+    from silhouettes: identical hit decisions on all but a sub-percent
+    silhouette band, and matching distances where both hit."""
+    from topo_renderer_tpu.ops.raycast import camera_rays, march_guided
+
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=600.0)
+    cam = dataclasses.replace(
+        cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.08
+    )
+    dirs, _ = camera_rays(cam, 160, 96)
+    eye = jnp.asarray(cam.eye)
+
+    hit_u, t_u = march(mosaic, eye, dirs, n_steps=768, n_refine=20)
+    hit_g, t_g = march_guided(mosaic, eye, dirs, n_steps=768, n_refine=20)
+
+    hu = np.asarray(hit_u)
+    hg = np.asarray(hit_g)
+    assert hu.mean() > 0.2  # scene sanity: terrain in view
+    # Hit-mask agreement outside the silhouette class.
+    assert (hu != hg).mean() < 0.01, f"{(hu != hg).mean():.2%} hit flips"
+    both = hu & hg
+    rel = np.abs(np.asarray(t_u) - np.asarray(t_g))[both] / np.maximum(
+        np.asarray(t_u)[both], 1.0
+    )
+    assert np.median(rel) < 1e-4
+    assert (rel < 0.02).mean() > 0.98
+
+
+def test_render_perspective_guided_close():
+    """End-to-end guided render stays within oracle-class tolerance of the
+    unguided exact render (same scene as the oracle test)."""
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=600.0)
+    cam = dataclasses.replace(
+        cam,
+        yaw=yaw_towards(cam, east_at(cam)),
+        pitch=-0.08,
+        view_mode=ViewMode.NORMALS,
+    )
+    kw = dict(width=192, height=108, n_steps=768, n_refine=26,
+              quantize_rt=False, apply_postprocess=False)
+    ref = render_perspective(mosaic, cam, **kw)
+    got = render_perspective(mosaic, cam, guided=True, **kw)
+    err = np.abs(np.asarray(got["color"]) - np.asarray(ref["color"])).max(axis=-1)
+    assert (err > 2.0 / 255.0).mean() < 0.02
+    assert np.median(err) < 1.0 / 1020.0

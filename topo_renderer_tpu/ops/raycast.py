@@ -112,7 +112,6 @@ def march(
     n_refine: int,
     two_level: bool | None = None,
     n_coarse: int = 96,
-    n_rounds: int = 8,
     n_fine: int = 24,
 ):
     """Find the first ray/surface crossing for dense ray planes.
@@ -173,7 +172,7 @@ def march(
     if two_level:
         return _march_two_level(
             mosaic, eye, dirs, c0, b, t0, t1,
-            n_coarse=n_coarse, n_rounds=n_rounds, n_fine=n_fine,
+            n_coarse=n_coarse, n_fine=n_fine,
             n_refine=n_refine,
         )
 
@@ -210,7 +209,7 @@ def march(
 
 
 def _march_two_level(
-    mosaic, eye, dirs, c0, b, t0, t1, *, n_coarse, n_rounds, n_fine, n_refine
+    mosaic, eye, dirs, c0, b, t0, t1, *, n_coarse, n_fine, n_refine
 ):
     """Max-mip accelerated exact march.
 
@@ -220,9 +219,9 @@ def _march_two_level(
     bound sampled at the interval midpoint. Candidate flags pack into u32
     bitmask words carried per pixel.
 
-    Phase B: up to ``n_rounds`` rounds; each round extracts the next
-    candidate interval (find-first-set over the masked words) and fine-
-    marches it with ``n_fine`` uniform steps. The dilated bound makes
+    Phase B: iterate to completion; each round extracts the next candidate
+    interval (find-first-set over the masked words) and fine-marches it
+    with ``n_fine`` uniform steps. The dilated bound makes
     rejection conservative: a crossing can only live in a candidate
     interval, so accuracy equals uniform marching at the fine step size
     while sampling the exact surface ~10x less.
@@ -356,7 +355,6 @@ def _march_two_level(
     found, t_lo, t_hi, cursor, _ = jax.lax.while_loop(
         cond, body, (found, t_lo, t_hi, cursor, jnp.int32(0))
     )
-    del n_rounds  # superseded by the run-to-completion loop
 
     def refine(_, state):
         lo, hi = state
@@ -367,6 +365,144 @@ def _march_two_level(
 
     t_lo, t_hi = jax.lax.fori_loop(0, n_refine, refine, (t_lo, t_hi))
     return found, t_hi
+
+
+def _pool3(a, op):
+    """3x3 neighborhood reduce with edge replication, via shifted slices
+    (`jnp.pad`-based stencils force layout copies on TPU — NOTES.md)."""
+    up = jnp.concatenate([a[:1], a[:-1]], axis=0)
+    dn = jnp.concatenate([a[1:], a[-1:]], axis=0)
+    a = op(op(up, a), dn)
+    lf = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+    rt = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    return op(op(lf, a), rt)
+
+
+def march_guided(
+    mosaic,
+    eye,
+    dirs,
+    *,
+    n_steps: int,
+    n_refine: int,
+    pre_stride: tuple[int, int] = (2, 4),
+    n_window: int = 96,
+):
+    """Exact march with profile-guided t-ranges from a low-res prepass.
+
+    The uniform march spends ``n_steps`` surface gathers per pixel across the
+    whole feasible interval; the two-level max-mip variant pays the *worst*
+    pixel's candidate count in while-loop lockstep, which goes pathological
+    on wide-area scenes (grazing rays above ridgelines flag most intervals).
+    This replaces both for dense ray grids:
+
+      1. **Prepass**: the full `march` on a ``(sy, sx)``-strided ray subgrid
+         (1/8th the rays at the default stride) finds accurate crossings at
+         low spatial resolution.
+      2. **Windows**: per full-res pixel, the 3x3 prepass neighborhood's
+         min/max hit distance (plus a 2% + 300 m margin) brackets where its
+         own crossing can be; pixels whose whole neighborhood is sky render
+         sky without marching.
+      3. **Windowed march**: ``n_window`` uniform steps inside the bracket +
+         the usual bisection refinement. Interior windows are a few hundred
+         metres wide, so the effective step size *drops* ~30x below the
+         uniform path's while total gathers drop ~8x.
+
+    Differences vs the uniform march are confined to sub-prepass-cell
+    features (a ridge thinner than ``3 * sy`` pixels everywhere can vanish;
+    dis-occluded background within ``sy`` pixels of a silhouette can be
+    missed) — the same silhouette class the oracle comparison already
+    tolerates. Validated against the uniform path in
+    `tests/test_render.py::test_march_guided_matches_uniform`.
+    """
+    eye = jnp.asarray(eye, jnp.float32)
+    if not isinstance(dirs, tuple):
+        d = jnp.asarray(dirs, jnp.float32)
+        dirs = (d[..., 0], d[..., 1], d[..., 2])
+    dx, dy, dz = dirs
+    H, W = dx.shape
+    sy, sx = pre_stride
+
+    # 1. Prepass on the strided subgrid (center of each stride cell). Uniform
+    # marching, not two-level: the max-mip while-loop pays the worst ray's
+    # candidate count in lockstep, which at wide-area scale (horizon rays
+    # skimming ridgelines for tens of km) costs more than it saves.
+    oy, ox = sy // 2, sx // 2
+    pre = (dx[oy::sy, ox::sx], dy[oy::sy, ox::sx], dz[oy::sy, ox::sx])
+    hit_p, t_p = march(
+        mosaic, eye, pre, n_steps=n_steps, n_refine=10, two_level=False
+    )
+
+    # 2. Conservative windows from the 3x3 prepass neighborhood.
+    BIG = jnp.float32(3.0e38)
+    t_min = _pool3(jnp.where(hit_p, t_p, BIG), jnp.minimum)
+    t_max = _pool3(jnp.where(hit_p, t_p, -BIG), jnp.maximum)
+
+    def up(a):
+        a = jnp.repeat(a, sy, axis=0)[:H]
+        a = jnp.repeat(a, sx, axis=1)[:, :W]
+        # The strided grid can undershoot the full grid by one row/column.
+        if a.shape[0] < H:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], H - a.shape[0], 0)], 0)
+        if a.shape[1] < W:
+            a = jnp.concatenate([a, jnp.repeat(a[:, -1:], W - a.shape[1], 1)], 1)
+        return a
+
+    t_min = up(t_min)
+    t_max = up(t_max)
+    any_hit = t_min < BIG
+
+    # Feasible interval of the full-res rays (same construction as `march`).
+    e_norm = jnp.linalg.norm(eye)
+    a0 = e_norm - R0
+    hmax = mosaic.hmax + 1.0
+    r_shell = R0 + hmax
+    b = dx * eye[0] + dy * eye[1] + dz * eye[2]
+    c = (a0 - hmax) * (e_norm + r_shell)
+    c0 = a0 * (e_norm + R0)
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inside = c <= 0.0
+    t_enter = jnp.where(inside, 0.0, -b - sq)
+    t_exit = -b + sq
+    feasible = (disc > 0.0) & (t_exit > 0.0)
+    t0 = jnp.maximum(t_enter, 0.0)
+    t1 = jnp.where(feasible, jnp.minimum(t_exit, FAR), 0.0)
+
+    margin = 0.02
+    t_lo = jnp.clip(t_min * (1.0 - margin) - 300.0, t0, t1)
+    t_hi = jnp.clip(t_max * (1.0 + margin) + 300.0, t_lo, t1)
+    dt = jnp.where(any_hit, (t_hi - t_lo) / n_window, 0.0)
+
+    # 3. Windowed uniform march + bisection (same scheme as `march`).
+    f0 = _surface_f(mosaic, eye, dirs, c0, b, t_lo)
+    hit0 = any_hit & (f0 <= 0.0)
+
+    def body(k, state):
+        found, lo, hi, f_prev = state
+        t_k = t_lo + dt * k
+        f_k = _surface_f(mosaic, eye, dirs, c0, b, t_k)
+        crossing = any_hit & (~found) & (f_prev > 0.0) & (f_k <= 0.0)
+        lo = jnp.where(crossing, t_k - dt, lo)
+        hi = jnp.where(crossing, t_k, hi)
+        return found | crossing, lo, hi, f_k
+
+    found, lo, hi, _ = jax.lax.fori_loop(
+        1,
+        n_window + 1,
+        body,
+        (hit0, jnp.where(hit0, t_lo, t_lo), jnp.where(hit0, t_lo, t_hi), f0),
+    )
+
+    def refine(_, state):
+        lo, hi = state
+        tm = 0.5 * (lo + hi)
+        fm = _surface_f(mosaic, eye, dirs, c0, b, tm)
+        below = fm <= 0.0
+        return jnp.where(below, lo, tm), jnp.where(below, tm, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_refine, refine, (lo, hi))
+    return found, hi
 
 
 @partial(
@@ -529,6 +665,7 @@ def render_perspective_fast(
         "quantize_rt",
         "apply_postprocess",
         "pixelize_n",
+        "guided",
     ),
 )
 def render_perspective(
@@ -542,6 +679,7 @@ def render_perspective(
     pixelize_n=None,
     quantize_rt: bool = True,
     apply_postprocess: bool = True,
+    guided: bool = False,
 ):
     """Render one perspective frame: the full terrain + postprocess pipeline.
 
@@ -554,7 +692,14 @@ def render_perspective(
     (dx, dy, dz), fwd = camera_rays(camera, width, height)
     eye = jnp.asarray(camera.eye, jnp.float32)
 
-    hit, t_hit = march(mosaic, eye, (dx, dy, dz), n_steps=n_steps, n_refine=n_refine)
+    if guided:
+        hit, t_hit = march_guided(
+            mosaic, eye, (dx, dy, dz), n_steps=n_steps, n_refine=n_refine
+        )
+    else:
+        hit, t_hit = march(
+            mosaic, eye, (dx, dy, dz), n_steps=n_steps, n_refine=n_refine
+        )
 
     # Near/far plane clipping along the view axis (matches rasterizer clip,
     # `camera.rs:7-8`).

@@ -151,13 +151,18 @@ class RenderEngine:
         with_labels: bool = True,
         composite: bool = True,
         fast: bool = False,
+        guided: bool = True,
     ) -> RenderResult:
         """Full frame: terrain + postprocess + label pass (reference render
         loop §3.3/§3.4 of SURVEY).
 
         ``fast=True`` renders through the LOD panorama engine and warps to
         the perspective grid — interactive-rate, LOD-quality;
-        ``fast=False`` is the triangle-exact parity path.
+        ``fast=False`` is the triangle-exact parity path. ``guided`` (exact
+        path only) brackets each pixel's march with a low-res prepass
+        (`ops/raycast.py::march_guided`, ~8x fewer surface samples);
+        differences vs the unguided march are confined to sub-prepass-cell
+        silhouette features. Pass ``guided=False`` for strict parity work.
         """
         mosaic = self.mosaic
         if fast:
@@ -185,6 +190,7 @@ class RenderEngine:
                 n_steps=n_steps,
                 n_refine=n_refine,
                 pixelize_n=pixelize_n,
+                guided=guided,
             )
         vp = camera.build_view_proj_matrix(float(width), float(height))
 
