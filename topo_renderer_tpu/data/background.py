@@ -185,6 +185,17 @@ class BackgroundRunner:
                         "reset_camera", {"location": cur, "height": float(h)}
                     )
             self._post("peaks_ready", {"location": ev.requested, "peaks": peaks})
+            # Non-Latin peak names pull in their script's font
+            # (`background_runner.rs:250-254`); failures never block tiles.
+            try:
+                from topo_renderer_tpu.render.fonts import default_library
+                from topo_renderer_tpu.render.text import get_scripts
+
+                scripts = get_scripts(p.name for p in peaks) - {"Latn"}
+                if scripts:
+                    default_library().load_additional_fonts(scripts)
+            except Exception:
+                pass
             self._post(
                 "terrain_ready",
                 {

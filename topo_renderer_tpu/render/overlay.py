@@ -25,7 +25,6 @@ from topo_renderer_tpu.render.text import (
     LABEL_PADDING_LEFT,
     LINE_HEIGHT,
     LabelLayout,
-    _default_font,
 )
 
 
@@ -48,7 +47,11 @@ def composite_labels(
 
     img = Image.fromarray(image_u8, "RGB")
     draw = ImageDraw.Draw(img)
-    font = font or _default_font()
+    explicit_font = font
+    if explicit_font is None:
+        from topo_renderer_tpu.render.fonts import default_library
+
+        lib = default_library()
 
     # Pass 1: backgrounds + leader lines (lines drawn above rects, like the
     # reference's z order: rects z=1, lines z=2, text z=100).
@@ -67,11 +70,18 @@ def composite_labels(
     for lay in layouts:
         text = names.get((lay.location, lay.id), "")
         if text:
+            # Per-label face: script-covering runtime font when one is
+            # registered (`text_renderer.rs:160-196` semantics).
+            label_font = (
+                explicit_font
+                if explicit_font is not None
+                else lib.font_for_text(text)
+            )
             draw.text(
                 (lay.label_x + LABEL_PADDING_LEFT, lay.label_y + 1),
                 text,
                 fill=(0, 0, 0),
-                font=font,
+                font=label_font,
             )
     return np.asarray(img)
 

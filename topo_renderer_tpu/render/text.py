@@ -176,8 +176,11 @@ def _default_font(size: int = 13):
 
 def measure_text(text: str, font=None) -> float:
     """Pixel width of a label (glyphon's shaping-based width in the
-    reference, `text_renderer.rs:216-241`)."""
-    font = font or _default_font()
+    reference, `text_renderer.rs:216-241`). With no explicit font the
+    process font library picks one by script coverage
+    (`render/fonts.py` — runtime-acquired Noto faces for non-Latin)."""
     if font is None:
-        return 7.0 * len(text)  # crude fallback
+        from topo_renderer_tpu.render.fonts import default_library
+
+        return default_library().measure(text)
     return float(font.getlength(text))
