@@ -1,0 +1,135 @@
+"""Row-sharded mosaic (`parallel/sharded_mosaic.py`): capacity scaling.
+
+VERDICT round-1 weak #7: replicated mosaic tables cap scene size at one
+chip's HBM. These tests run on the virtual 8-device CPU mesh (conftest) and
+assert the core guarantee: a scene whose big tables are split across the
+``geo`` axis — each device holding only a row band, i.e. a mosaic LARGER
+than one shard's slice — renders bit-identically to the replicated path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from tests.helpers import make_tile
+from topo_renderer_tpu.models.scene import build_mosaic
+from topo_renderer_tpu.ops.panorama import (
+    PanoramaSpec,
+    extract_clipmap_windows,
+    render_panorama,
+)
+from topo_renderer_tpu.parallel.sharded_mosaic import (
+    extract_clipmap_windows_sharded,
+    shard_mosaic,
+)
+
+
+def _mesh(n=8):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices")
+    return Mesh(np.array(devs[:n]), ("geo",))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    # A mosaic big enough that level 0 is windowed (h*w > threshold) and
+    # each of 8 shards holds only 1/8th of the rows.
+    tile = make_tile(49, 20, n=1281, span_deg=0.5)
+    mosaic = build_mosaic([tile])
+    eye_gc = (49.25, 20.25)
+    lat, lon = np.radians(eye_gc[0]), np.radians(eye_gc[1])
+    r = 6_371_000.0 + 2200.0
+    eye = jnp.array(
+        [r * np.cos(lat) * np.cos(lon), r * np.cos(lat) * np.sin(lon),
+         r * np.sin(lat)], jnp.float32,
+    )
+    return mosaic, eye
+
+
+def _spec(**kw):
+    kw.setdefault("clipmap_threshold", 200_000)
+    return PanoramaSpec.fast(width=512, height=128, n_steps=192, **kw)
+
+
+def test_sharded_extraction_matches_replicated(scene):
+    mosaic, eye = scene
+    mesh = _mesh()
+    spec = _spec()
+    smosaic = shard_mosaic(mosaic, mesh, size_threshold=500_000)
+
+    # The mosaic really is bigger than one shard's slice.
+    h, w = mosaic.shape
+    assert h * w > (smosaic.shape[0] // 8) * w
+
+    win_r = extract_clipmap_windows(mosaic, eye, spec)
+    win_s = extract_clipmap_windows_sharded(smosaic, eye, spec, mesh)
+    assert len(win_r) == len(win_s)
+    n_windowed = 0
+    for lv, (r, s) in enumerate(zip(win_r, win_s)):
+        for j, (a, b) in enumerate(zip(r, s)):
+            if a is None or b is None:
+                assert a is None and b is None, (lv, j)
+                continue
+            n_windowed += 1
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"level {lv} slot {j}"
+            )
+    assert n_windowed > 0  # at least one level actually windowed
+
+
+def test_sharded_render_bit_matches_replicated(scene):
+    mosaic, eye = scene
+    mesh = _mesh()
+    spec = _spec()
+    smosaic = shard_mosaic(mosaic, mesh, size_threshold=500_000)
+    sun = jnp.array([0.3, 0.5, 0.8], jnp.float32)
+
+    win_r = extract_clipmap_windows(mosaic, eye, spec)
+    out_r = render_panorama(mosaic, eye, spec, sun, fog="atmosphere", windows=win_r)
+
+    win_s = extract_clipmap_windows_sharded(smosaic, eye, spec, mesh)
+    out_s = render_panorama(smosaic, eye, spec, sun, fog="atmosphere", windows=win_s)
+
+    assert float(np.asarray(out_r["hit"]).mean()) > 0.1  # scene sanity
+    for k in ("color", "depth", "distance"):
+        np.testing.assert_array_equal(
+            np.asarray(out_r[k]), np.asarray(out_s[k]), err_msg=k
+        )
+
+
+def test_shard_mosaic_memory_split(scene):
+    """Each device holds ~1/8 of the big tables, not a full copy."""
+    mosaic, _ = scene
+    mesh = _mesh()
+    smosaic = shard_mosaic(mosaic, mesh, size_threshold=500_000)
+    shards = smosaic.attr_packed_flat.addressable_shards
+    assert len(shards) == 8
+    total = smosaic.attr_packed_flat.size
+    for sh in shards:
+        assert sh.data.size == total // 8
+
+
+def test_window_taller_than_shard_raises(scene):
+    mosaic, eye = scene
+    mesh = _mesh()
+    smosaic = shard_mosaic(mosaic, mesh, size_threshold=500_000)
+    # Find a step count whose window rows exceed one band but still fit the
+    # table (larger n_steps shrinks dlog and inflates the window).
+    from topo_renderer_tpu.ops.panorama import _clipmap_window_plan
+
+    h_loc = smosaic.shape[0] // 8
+    wide = None
+    for n_steps in (256, 384, 512, 768, 1024):
+        cand = PanoramaSpec.fast(
+            width=512, height=128, n_steps=n_steps, clipmap_threshold=200_000
+        )
+        plan = _clipmap_window_plan(cand, smosaic)
+        if any(u and wsy > h_loc for (_, u, wsy, _, _) in plan):
+            wide = cand
+            break
+    assert wide is not None, "no spec exercises the oversized-window guard"
+    with pytest.raises(ValueError, match="exceed one shard"):
+        extract_clipmap_windows_sharded(smosaic, eye, wide, mesh)

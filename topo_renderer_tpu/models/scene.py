@@ -134,6 +134,10 @@ class TerrainMosaic:
     # reading exactly the window's texels — instead of slicing full-width row
     # bands out of the flat gather tables (~50 MB/frame at 100-tile scale).
     win_attr_2d: tuple = ()
+    # Static: which table levels (0 = base, 1.. = mips) are row-sharded
+    # across a device mesh axis (`parallel/sharded_mosaic.py`); empty for
+    # replicated mosaics. Extraction picks the shard_map path per level.
+    sharded_rows: tuple = ()
     # Static base texel size in meters (rounded to 3 significant digits so
     # small per-scene variation does not fragment the jit cache). The LOD
     # step schedule (`ops/panorama.py::_lod_segments`) and the clipmap window
@@ -207,7 +211,10 @@ jax.tree_util.register_dataclass(
         "bound_radius",
         "win_attr_2d",
     ],
-    meta_fields=["shape", "mip_shapes", "host", "has_cell_table", "texel_m"],
+    meta_fields=[
+        "shape", "mip_shapes", "host", "has_cell_table", "sharded_rows",
+        "texel_m",
+    ],
 )
 
 
