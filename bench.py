@@ -201,10 +201,12 @@ def main():
     # ---- config 1: exact-parity perspective frame, 800x450 ----
     cam = Camera(eye=eye, pitch=-0.05, yaw=0.8)
 
+    import math
+
     def run1():
         return render_perspective(
             mosaic, cam, width=800, height=450, n_steps=1024, n_refine=24,
-            guided=True,
+            guided=True, fov_hint=math.radians(45.0),
         )["color"]
 
     ms1 = _sustained_ms(run1, reps=3)

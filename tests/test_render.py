@@ -230,3 +230,36 @@ def test_render_perspective_guided_close():
     err = np.abs(np.asarray(got["color"]) - np.asarray(ref["color"])).max(axis=-1)
     assert (err > 2.0 / 255.0).mean() < 0.02
     assert np.median(err) < 1.0 / 1020.0
+
+
+def test_march_guided_panorama_matches_uniform():
+    """The panorama-profile-prepass guided march agrees with the uniform
+    exact march away from silhouettes (the production guided mode)."""
+    import math
+
+    from topo_renderer_tpu.ops.raycast import camera_rays, march_guided_panorama
+
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=600.0)
+    cam = dataclasses.replace(
+        cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.08
+    )
+    W, H = 160, 96
+    dirs, fwd = camera_rays(cam, W, H)
+    eye = jnp.asarray(cam.eye)
+
+    hit_u, t_u = march(mosaic, eye, dirs, n_steps=768, n_refine=20)
+    hit_g, t_g = march_guided_panorama(
+        mosaic, eye, dirs, fwd, n_steps=768, n_refine=20,
+        fov_hint=math.radians(45.0), aspect=W / H,
+    )
+
+    hu = np.asarray(hit_u)
+    hg = np.asarray(hit_g)
+    assert hu.mean() > 0.2
+    assert (hu != hg).mean() < 0.01, f"{(hu != hg).mean():.2%} hit flips"
+    both = hu & hg
+    rel = np.abs(np.asarray(t_u) - np.asarray(t_g))[both] / np.maximum(
+        np.asarray(t_u)[both], 1.0
+    )
+    assert np.median(rel) < 1e-4
+    assert (rel < 0.02).mean() > 0.98

@@ -624,6 +624,92 @@ def render_panorama(
     }
 
 
+@partial(jax.jit, static_argnames=("spec",))
+def panorama_crossing_prepass(
+    mosaic, eye, spec: PanoramaSpec, azimuth_offset=0.0, elev_offset=0.0
+):
+    """Exact-profile crossing distances only — the guided perspective
+    march's prepass (`ops/raycast.py::march_guided`).
+
+    Renders no pixels: samples the triangle-exact surface along each
+    azimuth column's ground trace (``n_steps`` gathers per *column*, shared
+    by every pixel row — O(N + H) versus the dense ray prepass's O(N * H))
+    and finds each (row, column)'s first profile crossing by the fused
+    running-max reductions. Hit height and metric distance come from the
+    crossing geometry analytically, so the whole prepass costs
+    ``N * W`` table gathers and zero per-pixel ones.
+
+    Returns ``{"d_lo", "d_hi", "hit"}`` — per-pixel metric distance bounds
+    of the crossing (the bracketing profile samples), FAR where sky.
+    """
+    eye = jnp.asarray(eye, jnp.float32)
+    W, H, N = spec.width, spec.height, spec.n_steps
+    a0, up, (ex, ey), (nx0, ny0, nz0), _ = _eye_frame(eye)
+
+    phi = spec.azimuth_start + jnp.float32(azimuth_offset) + spec.azimuth_span * (
+        (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    )
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    h_col = (nx0 * cphi + ex * sphi, ny0 * cphi + ey * sphi, nz0 * cphi)
+    h_col_b = tuple(c[None, :] for c in h_col)
+
+    log_near = jnp.float32(jnp.log(spec.s_near))
+    log_ratio = jnp.float32(jnp.log(spec.s_far / spec.s_near))
+
+    def sigma_of(kf):
+        return jnp.exp(log_near + log_ratio * (kf / (N - 1))) / R0
+
+    k = jnp.arange(N, dtype=jnp.float32)[:, None]
+    e_prof = _surface_elevation(mosaic, a0, up, h_col_b, sigma_of(k))
+
+    e_lo, e_hi = spec.elevation_range()
+    rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    e_pix = (
+        jnp.float32(elev_offset) + jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo)
+    )[:, None]
+
+    # The banded Pallas kernel is the fast crossing path (the thresholds are
+    # lane-constant and row-decreasing by construction); the XLA reduction
+    # fallback covers CPU and odd shapes.
+    from topo_renderer_tpu.ops.pallas_crossing import (
+        LANES,
+        crossing_search_pallas,
+        pallas_available,
+    )
+
+    if (W % LANES == 0) and (H % 8 == 0) and pallas_available():
+        z = jnp.zeros_like(e_prof)
+        kstar, _, _, _, _, _ = crossing_search_pallas(
+            e_prof, z, z, z, jnp.broadcast_to(e_pix, (H, W)), height=H
+        )
+    else:
+        m_prof = jax.lax.cummax(e_prof, axis=0)
+        le = m_prof[:, None, :] <= e_pix[None, :, :]
+        kstar = jnp.sum(le, axis=0).astype(jnp.float32)
+    hit = kstar < jnp.float32(N)
+    kstar = jnp.clip(kstar, 0.0, jnp.float32(N - 1))
+    sig_hi = sigma_of(kstar)
+    sig_lo = jnp.where(kstar > 0, sigma_of(jnp.maximum(kstar - 1.0, 0.0)), 0.0)
+
+    def ray_dist(sig):
+        # Crossing point on the pixel ray at ground angle sig: analytic
+        # height from the ray/surface-trace geometry (no gathers).
+        cs = jnp.cos(sig)
+        sn = jnp.sin(sig)
+        tanp = jnp.tan(e_pix)
+        sh2s = jnp.sin(0.5 * sig) ** 2
+        denom = cs - tanp * sn
+        denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        h = (a0 + 2.0 * R0 * sh2s + tanp * R0 * sn) / denom
+        y = h * cs - a0 - 2.0 * R0 * sh2s
+        x = (R0 + h) * sn
+        return jnp.sqrt(x * x + y * y)
+
+    d_lo = jnp.where(hit, ray_dist(sig_lo), FAR)
+    d_hi = jnp.where(hit, jnp.maximum(ray_dist(sig_hi), d_lo), FAR)
+    return {"d_lo": d_lo, "d_hi": d_hi, "hit": hit}
+
+
 def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, sigma):
     """Sample the terrain visibility profile along the panorama ground traces.
 

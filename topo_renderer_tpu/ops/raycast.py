@@ -378,81 +378,11 @@ def _pool3(a, op):
     return op(op(lf, a), rt)
 
 
-def march_guided(
-    mosaic,
-    eye,
-    dirs,
-    *,
-    n_steps: int,
-    n_refine: int,
-    pre_stride: tuple[int, int] = (2, 4),
-    n_window: int = 96,
-):
-    """Exact march with profile-guided t-ranges from a low-res prepass.
-
-    The uniform march spends ``n_steps`` surface gathers per pixel across the
-    whole feasible interval; the two-level max-mip variant pays the *worst*
-    pixel's candidate count in while-loop lockstep, which goes pathological
-    on wide-area scenes (grazing rays above ridgelines flag most intervals).
-    This replaces both for dense ray grids:
-
-      1. **Prepass**: the full `march` on a ``(sy, sx)``-strided ray subgrid
-         (1/8th the rays at the default stride) finds accurate crossings at
-         low spatial resolution.
-      2. **Windows**: per full-res pixel, the 3x3 prepass neighborhood's
-         min/max hit distance (plus a 2% + 300 m margin) brackets where its
-         own crossing can be; pixels whose whole neighborhood is sky render
-         sky without marching.
-      3. **Windowed march**: ``n_window`` uniform steps inside the bracket +
-         the usual bisection refinement. Interior windows are a few hundred
-         metres wide, so the effective step size *drops* ~30x below the
-         uniform path's while total gathers drop ~8x.
-
-    Differences vs the uniform march are confined to sub-prepass-cell
-    features (a ridge thinner than ``3 * sy`` pixels everywhere can vanish;
-    dis-occluded background within ``sy`` pixels of a silhouette can be
-    missed) — the same silhouette class the oracle comparison already
-    tolerates. Validated against the uniform path in
-    `tests/test_render.py::test_march_guided_matches_uniform`.
-    """
-    eye = jnp.asarray(eye, jnp.float32)
-    if not isinstance(dirs, tuple):
-        d = jnp.asarray(dirs, jnp.float32)
-        dirs = (d[..., 0], d[..., 1], d[..., 2])
+def _window_march(mosaic, eye, dirs, t_min, t_max, any_hit, *,
+                  n_window: int, n_refine: int, margin_rel: float,
+                  margin_abs: float):
+    """Uniform march restricted to per-pixel brackets + bisection refine."""
     dx, dy, dz = dirs
-    H, W = dx.shape
-    sy, sx = pre_stride
-
-    # 1. Prepass on the strided subgrid (center of each stride cell). Uniform
-    # marching, not two-level: the max-mip while-loop pays the worst ray's
-    # candidate count in lockstep, which at wide-area scale (horizon rays
-    # skimming ridgelines for tens of km) costs more than it saves.
-    oy, ox = sy // 2, sx // 2
-    pre = (dx[oy::sy, ox::sx], dy[oy::sy, ox::sx], dz[oy::sy, ox::sx])
-    hit_p, t_p = march(
-        mosaic, eye, pre, n_steps=n_steps, n_refine=10, two_level=False
-    )
-
-    # 2. Conservative windows from the 3x3 prepass neighborhood.
-    BIG = jnp.float32(3.0e38)
-    t_min = _pool3(jnp.where(hit_p, t_p, BIG), jnp.minimum)
-    t_max = _pool3(jnp.where(hit_p, t_p, -BIG), jnp.maximum)
-
-    def up(a):
-        a = jnp.repeat(a, sy, axis=0)[:H]
-        a = jnp.repeat(a, sx, axis=1)[:, :W]
-        # The strided grid can undershoot the full grid by one row/column.
-        if a.shape[0] < H:
-            a = jnp.concatenate([a, jnp.repeat(a[-1:], H - a.shape[0], 0)], 0)
-        if a.shape[1] < W:
-            a = jnp.concatenate([a, jnp.repeat(a[:, -1:], W - a.shape[1], 1)], 1)
-        return a
-
-    t_min = up(t_min)
-    t_max = up(t_max)
-    any_hit = t_min < BIG
-
-    # Feasible interval of the full-res rays (same construction as `march`).
     e_norm = jnp.linalg.norm(eye)
     a0 = e_norm - R0
     hmax = mosaic.hmax + 1.0
@@ -469,12 +399,10 @@ def march_guided(
     t0 = jnp.maximum(t_enter, 0.0)
     t1 = jnp.where(feasible, jnp.minimum(t_exit, FAR), 0.0)
 
-    margin = 0.02
-    t_lo = jnp.clip(t_min * (1.0 - margin) - 300.0, t0, t1)
-    t_hi = jnp.clip(t_max * (1.0 + margin) + 300.0, t_lo, t1)
+    t_lo = jnp.clip(t_min * (1.0 - margin_rel) - margin_abs, t0, t1)
+    t_hi = jnp.clip(t_max * (1.0 + margin_rel) + margin_abs, t_lo, t1)
     dt = jnp.where(any_hit, (t_hi - t_lo) / n_window, 0.0)
 
-    # 3. Windowed uniform march + bisection (same scheme as `march`).
     f0 = _surface_f(mosaic, eye, dirs, c0, b, t_lo)
     hit0 = any_hit & (f0 <= 0.0)
 
@@ -503,6 +431,188 @@ def march_guided(
 
     lo, hi = jax.lax.fori_loop(0, n_refine, refine, (lo, hi))
     return found, hi
+
+
+def march_guided(
+    mosaic,
+    eye,
+    dirs,
+    *,
+    n_steps: int,
+    n_refine: int,
+    pre_stride: tuple[int, int] = (2, 4),
+    n_window: int = 96,
+):
+    """Exact march with t-ranges from a strided low-res ray prepass.
+
+    The uniform march spends ``n_steps`` surface gathers per pixel across the
+    whole feasible interval; the two-level max-mip variant pays the *worst*
+    pixel's candidate count in while-loop lockstep, which goes pathological
+    on wide-area scenes (grazing rays above ridgelines flag most intervals).
+
+      1. **Prepass**: the full `march` on a ``(sy, sx)``-strided ray subgrid
+         (1/8th the rays at the default stride) finds accurate crossings at
+         low spatial resolution (uniform marching — see the lockstep note).
+      2. **Windows**: per full-res pixel, the 3x3 prepass neighborhood's
+         min/max hit distance (plus a 2% + 300 m margin) brackets where its
+         own crossing can be; pixels whose whole neighborhood is sky render
+         sky without marching.
+      3. **Windowed march** (`_window_march`): ``n_window`` uniform steps
+         inside the bracket + bisection. Interior windows are a few hundred
+         metres wide, so the effective step size *drops* ~30x below the
+         uniform path's while total gathers drop ~8x.
+
+    `march_guided_panorama` is the faster production variant (its prepass
+    shares profile samples across pixel rows); this ray-prepass form needs
+    no field-of-view bound and serves arbitrary ray sets. Differences vs
+    the uniform march are confined to sub-prepass-cell silhouette features —
+    the class the oracle comparison already tolerates
+    (`tests/test_render.py::test_march_guided_matches_uniform`).
+    """
+    eye = jnp.asarray(eye, jnp.float32)
+    if not isinstance(dirs, tuple):
+        d = jnp.asarray(dirs, jnp.float32)
+        dirs = (d[..., 0], d[..., 1], d[..., 2])
+    dx, dy, dz = dirs
+    H, W = dx.shape
+    sy, sx = pre_stride
+
+    oy, ox = sy // 2, sx // 2
+    pre = (dx[oy::sy, ox::sx], dy[oy::sy, ox::sx], dz[oy::sy, ox::sx])
+    hit_p, t_p = march(
+        mosaic, eye, pre, n_steps=n_steps, n_refine=10, two_level=False
+    )
+
+    BIG = jnp.float32(3.0e38)
+    t_min = _pool3(jnp.where(hit_p, t_p, BIG), jnp.minimum)
+    t_max = _pool3(jnp.where(hit_p, t_p, -BIG), jnp.maximum)
+
+    def up(a):
+        a = jnp.repeat(a, sy, axis=0)[:H]
+        a = jnp.repeat(a, sx, axis=1)[:, :W]
+        # The strided grid can undershoot the full grid by one row/column.
+        if a.shape[0] < H:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], H - a.shape[0], 0)], 0)
+        if a.shape[1] < W:
+            a = jnp.concatenate([a, jnp.repeat(a[:, -1:], W - a.shape[1], 1)], 1)
+        return a
+
+    t_min = up(t_min)
+    t_max = up(t_max)
+    return _window_march(
+        mosaic, eye, dirs, t_min, t_max, t_min < BIG,
+        n_window=n_window, n_refine=n_refine,
+        margin_rel=0.02, margin_abs=300.0,
+    )
+
+
+def march_guided_panorama(
+    mosaic,
+    eye,
+    dirs,
+    fwd,
+    *,
+    n_steps: int,
+    n_refine: int,
+    fov_hint: float,
+    aspect: float,
+    n_window: int = 32,
+    supersample: float = 1.5,
+):
+    """Exact march with t-ranges from an exact-panorama profile prepass.
+
+    The decisive cost of any dense exact march is table gathers (~40 M/s
+    into multi-100-MB tables on this TPU). A strided-ray prepass still pays
+    O(N) gathers *per prepass ray*; a panorama profile pays O(N) gathers
+    *per column* and shares them across every pixel row
+    (`ops/panorama.py::panorama_crossing_prepass`), cutting prepass gathers
+    ~25x (46 M -> ~2 M at 800x450/1024 steps). The prepass covers the
+    frustum's azimuth/elevation window (sized statically from ``fov_hint``,
+    an upper bound on the camera fov — quantize to buckets to limit
+    recompiles) at ``supersample`` x the pixel density and returns analytic
+    per-texel crossing-distance brackets; each perspective pixel takes the
+    3x3 pooled bracket of its nearest prepass texel, then `_window_march`
+    resolves the exact surface inside it with ``n_window`` + ``n_refine``
+    samples (~34 gathers/pixel vs 1024 for the uniform march).
+    """
+    import math as _m
+
+    from topo_renderer_tpu.ops.panorama import (
+        PanoramaSpec,
+        panorama_crossing_prepass,
+    )
+
+    eye = jnp.asarray(eye, jnp.float32)
+    if not isinstance(dirs, tuple):
+        d = jnp.asarray(dirs, jnp.float32)
+        dirs = (d[..., 0], d[..., 1], d[..., 2])
+    dx, dy, dz = dirs
+    H, W = dx.shape
+
+    # Eye-local az/el of every pixel ray (same frame as the fast warp).
+    e_norm = jnp.linalg.norm(eye)
+    ux, uy, uz = eye[0] / e_norm, eye[1] / e_norm, eye[2] / e_norm
+    lon0 = jnp.arctan2(eye[1], eye[0])
+    lat0 = jnp.arcsin(jnp.clip(eye[2] / e_norm, -1.0, 1.0))
+    ex_, ey_ = -jnp.sin(lon0), jnp.cos(lon0)
+    nx0 = -jnp.sin(lat0) * jnp.cos(lon0)
+    ny0 = -jnp.sin(lat0) * jnp.sin(lon0)
+    nz0 = jnp.cos(lat0)
+    d_e = dx * ex_ + dy * ey_
+    d_n = dx * nx0 + dy * ny0 + dz * nz0
+    d_u = dx * ux + dy * uy + dz * uz
+    az = jnp.arctan2(d_e, d_n)
+    el = jnp.arcsin(jnp.clip(d_u, -1.0, 1.0))
+
+    az_c = jnp.arctan2(
+        fwd[0] * ex_ + fwd[1] * ey_,
+        fwd[0] * nx0 + fwd[1] * ny0 + fwd[2] * nz0,
+    )
+    el_c = jnp.arcsin(jnp.clip(fwd[0] * ux + fwd[1] * uy + fwd[2] * uz, -1.0, 1.0))
+
+    # Static angular window from the fov bound (diagonal half-angle+margin).
+    half_diag = min(
+        _m.atan(_m.tan(0.5 * float(fov_hint)) * _m.sqrt(1.0 + aspect * aspect)),
+        0.49 * _m.pi,
+    )
+    half_win = min(1.03 * half_diag + 0.01, 0.49 * _m.pi)
+    az_span = min(2.0 * _m.pi, 2.0 * half_win / max(_m.cos(half_win), 0.3))
+    px_per_rad = supersample * H / float(fov_hint)
+    wp = max(256, min(int(_m.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
+    hp = max(64, min(int(_m.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
+
+    spec_pre = PanoramaSpec(
+        width=wp, height=hp, n_steps=min(n_steps, 1024), n_refine=0,
+        azimuth_start=-0.5 * az_span, azimuth_span=az_span,
+        elev_min=-half_win, elev_max=half_win,
+    )
+    pre = panorama_crossing_prepass(
+        mosaic, eye, spec_pre, azimuth_offset=az_c, elev_offset=el_c
+    )
+
+    BIG = jnp.float32(3.0e38)
+    d_lo = jnp.where(pre["hit"], pre["d_lo"], BIG)
+    d_hi = jnp.where(pre["hit"], pre["d_hi"], -BIG)
+    t_min_img = _pool3(d_lo, jnp.minimum)
+    t_max_img = _pool3(d_hi, jnp.maximum)
+
+    # Nearest prepass texel per pixel; one packed row gather fetches both
+    # bracket ends (row gathers cost the same as scalar gathers here).
+    rel_az = (az - az_c + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+    gx = (rel_az + 0.5 * az_span) / az_span * wp - 0.5
+    gy = (jnp.float32(half_win) - (el - el_c)) / jnp.float32(2.0 * half_win) * hp - 0.5
+    ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, wp - 1)
+    iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, hp - 1)
+    packed = jnp.stack([t_min_img, t_max_img], axis=-1).reshape(-1, 2)
+    rows = packed[iy * wp + ix]
+    t_min = rows[..., 0]
+    t_max = rows[..., 1]
+
+    return _window_march(
+        mosaic, eye, dirs, t_min, t_max, t_min < BIG,
+        n_window=n_window, n_refine=n_refine,
+        margin_rel=0.01, margin_abs=150.0,
+    )
 
 
 @partial(
@@ -666,6 +776,7 @@ def render_perspective_fast(
         "apply_postprocess",
         "pixelize_n",
         "guided",
+        "fov_hint",
     ),
 )
 def render_perspective(
@@ -680,6 +791,7 @@ def render_perspective(
     quantize_rt: bool = True,
     apply_postprocess: bool = True,
     guided: bool = False,
+    fov_hint: float | None = None,
 ):
     """Render one perspective frame: the full terrain + postprocess pipeline.
 
@@ -692,7 +804,15 @@ def render_perspective(
     (dx, dy, dz), fwd = camera_rays(camera, width, height)
     eye = jnp.asarray(camera.eye, jnp.float32)
 
-    if guided:
+    if guided and fov_hint is not None:
+        # Panorama-profile prepass: needs a static fov upper bound
+        # (callers quantize the camera fov to buckets, like the fast path).
+        hit, t_hit = march_guided_panorama(
+            mosaic, eye, (dx, dy, dz), fwd,
+            n_steps=n_steps, n_refine=n_refine,
+            fov_hint=fov_hint, aspect=width / height,
+        )
+    elif guided:
         hit, t_hit = march_guided(
             mosaic, eye, (dx, dy, dz), n_steps=n_steps, n_refine=n_refine
         )

@@ -182,6 +182,13 @@ class RenderEngine:
                 fov_hint=math.radians(bucket),
             )
         else:
+            import math
+
+            fov = math.degrees(float(camera.fov_y))
+            bucket = next(
+                (b for b in _FOV_BUCKETS_DEG if b >= fov - 1e-6),
+                _FOV_BUCKETS_DEG[-1],
+            )
             out = render_perspective(
                 mosaic,
                 camera,
@@ -191,6 +198,7 @@ class RenderEngine:
                 n_refine=n_refine,
                 pixelize_n=pixelize_n,
                 guided=guided,
+                fov_hint=math.radians(bucket) if guided else None,
             )
         vp = camera.build_view_proj_matrix(float(width), float(height))
 

@@ -80,6 +80,7 @@ class FontLibrary:
         self._lock = threading.Lock()
         self._loaded_urls: set[str] = set()
         self._fonts: list[tuple[frozenset, object]] = []  # (coverage, PIL font)
+        self._measure_cache: dict[str, float] = {}
         if font_dir:
             for p in sorted(Path(font_dir).glob("*")):
                 if p.suffix.lower() in (".ttf", ".otf"):
@@ -99,6 +100,7 @@ class FontLibrary:
             return False
         with self._lock:
             self._fonts.append((frozenset(cmap.keys()), pil))
+            self._measure_cache.clear()  # widths may change for covered texts
         return True
 
     def load_additional_fonts(self, scripts) -> int:
@@ -152,10 +154,17 @@ class FontLibrary:
         return _default_font(self.size)
 
     def measure(self, text: str) -> float:
+        """Pixel width of ``text``; memoized — the label pass re-measures the
+        same peak names every frame (PIL shaping costs ~0.1 ms/name)."""
+        w = self._measure_cache.get(text)
+        if w is not None:
+            return w
         font = self.font_for_text(text)
-        if font is None:
-            return 7.0 * len(text)
-        return float(font.getlength(text))
+        w = 7.0 * len(text) if font is None else float(font.getlength(text))
+        if len(self._measure_cache) > 65536:
+            self._measure_cache.clear()
+        self._measure_cache[text] = w
+        return w
 
 
 _library: FontLibrary | None = None
