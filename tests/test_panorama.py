@@ -264,3 +264,44 @@ def test_panorama_fog_modes():
     np.testing.assert_allclose(
         np.asarray(foggy["color"])[~hit], np.asarray(base["color"])[~hit], atol=1e-6
     )
+
+
+def test_batched_windows_match_per_eye():
+    """Batched extraction + vmapped render (config-5 single-program path)
+    reproduces the per-eye loop. On CPU this exercises the vmapped-slicing
+    fallback; the DMA kernel path is asserted on TPU in scripts."""
+    import dataclasses as dc
+
+    import jax
+
+    from topo_renderer_tpu.ops.panorama import (
+        extract_clipmap_windows,
+        extract_clipmap_windows_batched,
+    )
+
+    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
+    spec = dc.replace(
+        PanoramaSpec.fast(width=128, height=64, elev_min=-0.3, elev_max=0.1,
+                          s_near=5.0, s_far=40_000.0, n_steps=256),
+        clipmap_threshold=0,
+    )
+    sun = jnp.asarray(np.asarray(cam.sun_angle.to_vec3()), jnp.float32)
+    eye = jnp.asarray(cam.eye, jnp.float32)
+    up = eye / jnp.linalg.norm(eye)
+    eyes = jnp.stack([eye, eye + 40.0 * up, eye + 90.0 * up])
+    suns = jnp.stack([sun] * 3)
+
+    win_b = extract_clipmap_windows_batched(mosaic, eyes, spec)
+    colors_b = jax.vmap(
+        lambda e, s, w: render_panorama(mosaic, e, spec, s, windows=w)["color"]
+    )(eyes, suns, win_b)
+
+    for i in range(3):
+        win = extract_clipmap_windows(mosaic, eyes[i], spec)
+        want = render_panorama(mosaic, eyes[i], spec, suns[i], windows=win)["color"]
+        diff = np.abs(
+            np.asarray(colors_b[i], np.float32) - np.asarray(want, np.float32)
+        )
+        # sRGB-quantized output; vmap may fuse differently (FMA contraction).
+        assert diff.max() <= 1.5 / 255.0, (i, diff.max())
+        assert (diff > 0).mean() < 0.03

@@ -108,6 +108,56 @@ def window_slice_multi(tables, origins, *, wsy: int, wsx: int):
     )(jnp.asarray(origins, jnp.int32), *tables)
 
 
+@functools.partial(jax.jit, static_argnames=("wsy", "wsx"))
+def window_slice_multi_batched(tables, origins, *, wsy: int, wsx: int):
+    """Slice B eye-centered windows out of each table in one kernel.
+
+    Batched form of `window_slice_multi` for single-program batched
+    rendering (BASELINE config 5): ``origins i32[B, L, 2]`` holds aligned
+    (sy, sx) per viewpoint per level; the grid runs one program per
+    viewpoint, each issuing its L bounded DMAs back-to-back so copies
+    overlap. Returns a tuple over levels of ``f32[B, ..., wsy, wsx]``.
+    """
+    if wsy % 8 or wsx % 128:
+        raise ValueError(f"window ({wsy}, {wsx}) must be (8, 128)-aligned")
+    n = len(tables)
+    B = origins.shape[0]
+
+    def kernel(idx_ref, *refs):
+        srcs, outs, sem = refs[:n], refs[n : 2 * n], refs[2 * n]
+        b = pl.program_id(0)
+        dmas = []
+        for i in range(n):
+            y0 = pl.multiple_of(idx_ref[b, i, 0], 8)
+            x0 = pl.multiple_of(idx_ref[b, i, 1], 128)
+            dmas.append(
+                pltpu.make_async_copy(
+                    srcs[i].at[..., pl.ds(y0, wsy), pl.ds(x0, wsx)],
+                    outs[i].at[b],
+                    sem.at[i],
+                )
+            )
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n,
+            scratch_shapes=[pltpu.SemaphoreType.DMA((n,))],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B,) + t.shape[:-2] + (wsy, wsx), t.dtype)
+            for t in tables
+        ],
+    )(jnp.asarray(origins, jnp.int32), *tables)
+
+
 def dma_available() -> bool:
     """Probe once whether the DMA slice kernel compiles/runs on this backend."""
     global _AVAILABLE

@@ -625,6 +625,98 @@ def render_panorama(
 
 
 @partial(jax.jit, static_argnames=("spec",))
+def extract_clipmap_windows_batched(mosaic, eyes, spec: PanoramaSpec):
+    """B viewpoints' clipmap windows in ONE program (BASELINE config 5).
+
+    Round 1 pipelined per-eye extraction+render programs because naively
+    vmapping the extraction turns the small per-eye windows into batched
+    gathers that forfeit locality (~3x slower). The batched DMA kernel
+    (`ops/pallas_dma.py::window_slice_multi_batched`) keeps each window a
+    bounded contiguous copy — one grid program per viewpoint, L overlapped
+    DMAs each — so a whole batch extracts in one dispatch and the batched
+    render can be a single program too. Falls back to the vmapped slicing
+    on backends without Mosaic (CPU tests).
+
+    Returns the same per-level tuple structure as
+    `extract_clipmap_windows`, with a leading batch axis on every array.
+    """
+    from topo_renderer_tpu.ops.pallas_dma import (
+        dma_available,
+        window_slice_multi_batched,
+    )
+
+    eyes = jnp.asarray(eyes, jnp.float32)
+    B = eyes.shape[0]
+    n_levels = len(mosaic.mip_shapes)
+    use_attr = bool(spec.attrs_from_profile and spec.lod and n_levels)
+
+    plan = _clipmap_window_plan(spec, mosaic)
+    windowed = [p for p in plan if p[1]]
+    have_2d = {
+        lv
+        for lv, use, _, _, _ in plan
+        if use
+        and lv < len(getattr(mosaic, "win_attr_2d", ()))
+        and mosaic.win_attr_2d[lv] is not None
+    }
+    # The batched DMA path needs every windowed level to carry a 2-D table;
+    # otherwise (or without Mosaic) vmap the single-eye extraction.
+    if not (
+        use_attr
+        and dma_available()
+        and windowed
+        and all(lv in have_2d for lv, *_ in windowed)
+    ):
+        return jax.vmap(
+            lambda e: extract_clipmap_windows(mosaic, e, spec)
+        )(eyes)
+
+    e_norm = jnp.linalg.norm(eyes, axis=-1)
+    lon0 = jnp.degrees(jnp.arctan2(eyes[:, 1], eyes[:, 0]))
+    lat0 = jnp.degrees(jnp.arcsin(jnp.clip(eyes[:, 2] / e_norm, -1.0, 1.0)))
+    gx_e, gy_e = raster_from_geo(mosaic, lon0, lat0)  # [B]
+
+    quad_levels = _bilinear_levels(spec, n_levels, _texel_m(spec, mosaic))
+
+    tables, origins, order = [], [], []
+    sxy = {}
+    for level, use_window, wsy, wsx, (h_t, w_t) in plan:
+        if not use_window:
+            continue
+        s = float(2**level)
+        off = (s - 1.0) / 2.0
+        sx = jnp.clip(
+            jnp.round((gx_e - off) / s).astype(jnp.int32) - wsx // 2, 0, w_t - wsx
+        )
+        sx = (sx // 128) * 128
+        sy = jnp.clip(
+            jnp.round((gy_e - off) / s).astype(jnp.int32) - wsy // 2, 0, h_t - wsy
+        )
+        sy = (sy // 8) * 8
+        sxy[level] = (sx, sy)
+        tables.append(mosaic.win_attr_2d[level])
+        origins.append(jnp.stack([sy, sx], axis=-1))  # [B, 2]
+        order.append(level)
+
+    _, _, wsy0, wsx0, _ = windowed[0]
+    wins = window_slice_multi_batched(
+        tuple(tables), jnp.stack(origins, axis=1), wsy=wsy0, wsx=wsx0
+    )  # tuple over levels of [B, 2, wsy, wsx]
+
+    out = []
+    for level, use_window, wsy, wsx, _ in plan:
+        if not use_window:
+            out.append((None, None, None, None, None))
+            continue
+        sl = wins[order.index(level)]
+        tbl_a = jnp.swapaxes(sl.reshape(B, 2, -1), 1, 2)  # [B, rows, 2]
+        tbl_q = jax.vmap(_quad_rows)(sl) if level in quad_levels else None
+        sx, sy = sxy[level]
+        out.append((None, tbl_a, tbl_q, sx, sy))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("spec",))
 def panorama_crossing_prepass(
     mosaic, eye, spec: PanoramaSpec, azimuth_offset=0.0, elev_offset=0.0
 ):

@@ -331,6 +331,23 @@ class RenderEngine:
         eyes = jnp.asarray(eyes, jnp.float32)
         suns = jnp.asarray(sun_directions, jnp.float32)
         if spec.lod and spec.clipmap:
+            from topo_renderer_tpu.ops.pallas_dma import dma_available
+            from topo_renderer_tpu.ops.panorama import (
+                extract_clipmap_windows_batched,
+            )
+
+            if dma_available():
+                # Single-program batch: one batched-DMA extraction dispatch
+                # + one vmapped render dispatch (per-eye windows keep their
+                # gather locality — see extract_clipmap_windows_batched).
+                win_b = extract_clipmap_windows_batched(self.mosaic, eyes, spec)
+                fn = jax.vmap(
+                    lambda e, s, w: render_panorama(
+                        self.mosaic, e, spec, s, view_mode=view_mode,
+                        fog=fog, windows=w,
+                    )["color"]
+                )
+                return fn(eyes, suns, win_b)
             outs = [
                 render_panorama(
                     self.mosaic, eyes[i], spec, suns[i], view_mode=view_mode,
