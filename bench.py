@@ -131,9 +131,10 @@ def main():
         vis = peak_visibility_panorama(
             pos, valid, eye, spec4, depth4, tolerance_rel=0.05
         )
-        visible = np.asarray(vis["visible"])
-        xs = np.asarray(vis["x"])
-        ys = np.asarray(vis["y"])
+        packed = np.asarray(
+            jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
+        )
+        visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
         from topo_renderer_tpu.geo import GeoLocation
 
         loc = GeoLocation.from_coord(47, 23)
@@ -176,16 +177,19 @@ def main():
         )
     ]
 
-    def run5_one(e):
-        win = extract_clipmap_windows(mosaic, e, spec5)
-        return render_panorama(
-            mosaic, e, spec5, sun, fog="atmosphere", windows=win
-        )["color"]
+    from topo_renderer_tpu.ops.panorama import render_batch_scan
 
-    jax.block_until_ready(run5_one(eyes[0]))  # compile
+    eyes_arr = jnp.stack(eyes)
+    suns5 = jnp.broadcast_to(sun, (B, 3))
+
+    def run5():
+        # One program for the whole batch: device-side scan over per-eye
+        # extract+render (single dispatch, single-eye gather locality).
+        return render_batch_scan(mosaic, eyes_arr, suns5, spec5, fog="atmosphere")
+
+    jax.block_until_ready(run5())  # compile
     t0 = time.perf_counter()
-    outs = [run5_one(e) for e in eyes]
-    jax.block_until_ready(outs)
+    jax.block_until_ready(run5())
     panos_per_s = B / (time.perf_counter() - t0)
     configs.append(
         {

@@ -305,3 +305,39 @@ def test_batched_windows_match_per_eye():
         # sRGB-quantized output; vmap may fuse differently (FMA contraction).
         assert diff.max() <= 1.5 / 255.0, (i, diff.max())
         assert (diff > 0).mean() < 0.03
+
+
+def test_render_batch_scan_matches_per_eye():
+    """The one-program scan batch (engine render_batch path) reproduces the
+    per-eye two-program renders."""
+    import dataclasses as dc
+
+    from topo_renderer_tpu.ops.panorama import (
+        extract_clipmap_windows,
+        render_batch_scan,
+    )
+
+    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
+    spec = dc.replace(
+        PanoramaSpec.fast(width=128, height=64, elev_min=-0.3, elev_max=0.1,
+                          s_near=5.0, s_far=40_000.0, n_steps=256),
+        clipmap_threshold=0,
+    )
+    sun = jnp.asarray(np.asarray(cam.sun_angle.to_vec3()), jnp.float32)
+    eye = jnp.asarray(cam.eye, jnp.float32)
+    up = eye / jnp.linalg.norm(eye)
+    eyes = jnp.stack([eye, eye + 50.0 * up, eye + 120.0 * up])
+    suns = jnp.stack([sun] * 3)
+
+    colors = render_batch_scan(mosaic, eyes, suns, spec, fog="atmosphere")
+    assert colors.shape == (3, 64, 128, 3)
+    for i in range(3):
+        win = extract_clipmap_windows(mosaic, eyes[i], spec)
+        want = render_panorama(
+            mosaic, eyes[i], spec, suns[i], fog="atmosphere", windows=win
+        )["color"]
+        diff = np.abs(
+            np.asarray(colors[i], np.float32) - np.asarray(want, np.float32)
+        )
+        assert diff.max() <= 1.5 / 255.0, (i, diff.max())
+        assert (diff > 0).mean() < 0.03

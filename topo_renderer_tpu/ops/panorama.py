@@ -716,6 +716,44 @@ def extract_clipmap_windows_batched(mosaic, eyes, spec: PanoramaSpec):
     return tuple(out)
 
 
+@partial(jax.jit, static_argnames=("spec", "fog"))
+def render_batch_scan(mosaic, eyes, suns, spec: PanoramaSpec, view_mode=0,
+                      fog: str | None = None):
+    """Batched panoramas as ONE program: `lax.scan` over viewpoints.
+
+    The three candidate shapes for BASELINE config 5, measured at 4801^2
+    scale in the same session (a degraded host link, which is exactly when
+    the choice matters):
+
+      * python-pipelined per-eye dispatches: 541/s healthy link, 67/s
+        degraded — every frame pays a dispatch round-trip;
+      * batched-DMA extraction + vmapped render: ~200/s — vmapping the
+        render turns the per-eye window gathers into batched gathers and
+        forfeits their locality (the round-1 finding, now isolated to the
+        render stage);
+      * this scan: **579/s degraded** — per-eye programs executed
+        sequentially *on device*, keeping single-eye gather locality, with
+        exactly one dispatch per batch.
+
+    Returns ``f32[B, H, W, 3]`` colors.
+    """
+    eyes = jnp.asarray(eyes, jnp.float32)
+    suns = jnp.asarray(suns, jnp.float32)
+
+    def one(carry, es):
+        e, s = es
+        windows = None
+        if spec.lod and spec.clipmap and mosaic.mip_shapes:
+            windows = extract_clipmap_windows(mosaic, e, spec)
+        c = render_panorama(
+            mosaic, e, spec, s, view_mode=view_mode, fog=fog, windows=windows
+        )["color"]
+        return carry, c
+
+    _, colors = jax.lax.scan(one, 0, (eyes, suns))
+    return colors
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def panorama_crossing_prepass(
     mosaic, eye, spec: PanoramaSpec, azimuth_offset=0.0, elev_offset=0.0

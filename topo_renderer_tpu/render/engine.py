@@ -212,9 +212,15 @@ class RenderEngine:
                 # reference's absolute 10 m applies to the exact path.
                 tolerance_rel=0.05 if fast else 0.0,
             )
-            visible = np.asarray(vis["visible"])
-            xs = np.asarray(vis["x"])
-            ys = np.asarray(vis["y"])
+            # One packed transfer: three separate tiny device->host pulls
+            # pay three link round-trips (the label pass's dominant cost on
+            # a tunneled TPU).
+            packed = np.asarray(
+                jnp.stack(
+                    [vis["visible"].astype(jnp.int32), vis["x"], vis["y"]]
+                )
+            )
+            visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
             for j, (loc, i, inst) in enumerate(entries):
                 inst.visible = bool(visible[j])
                 if inst.visible:
@@ -286,9 +292,15 @@ class RenderEngine:
                 pos, valid, eye, spec, out["depth"],
                 tolerance_rel=0.05 if spec.lod else 0.0,
             )
-            visible = np.asarray(vis["visible"])
-            xs = np.asarray(vis["x"])
-            ys = np.asarray(vis["y"])
+            # One packed transfer: three separate tiny device->host pulls
+            # pay three link round-trips (the label pass's dominant cost on
+            # a tunneled TPU).
+            packed = np.asarray(
+                jnp.stack(
+                    [vis["visible"].astype(jnp.int32), vis["x"], vis["y"]]
+                )
+            )
+            visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
             for j, (loc, i, inst) in enumerate(entries):
                 inst.visible = bool(visible[j])
                 if inst.visible:
@@ -323,40 +335,25 @@ class RenderEngine:
         ``f32[B, H, W, 3]`` (BASELINE config 5 throughput mode). Labels are
         skipped in batch mode; use `render_panorama` per frame for labels.
 
-        Clipmap (LOD) specs pipeline per-viewpoint calls instead of vmapping:
-        vmapped window extraction turns the small per-eye gather tables into
-        one batched table and forfeits the clipmap's locality win, measuring
-        ~3x slower than the pipelined loop on TPU.
+        Clipmap (LOD) specs run as one device-side scan over per-eye
+        extract+render (`render_batch_scan`): vmapping would turn the small
+        per-eye window gathers into batched gathers and forfeit their
+        locality (~3x slower), while python-pipelined dispatches pay a host
+        round-trip per frame.
         """
         eyes = jnp.asarray(eyes, jnp.float32)
         suns = jnp.asarray(sun_directions, jnp.float32)
         if spec.lod and spec.clipmap:
-            from topo_renderer_tpu.ops.pallas_dma import dma_available
-            from topo_renderer_tpu.ops.panorama import (
-                extract_clipmap_windows_batched,
-            )
+            # One program for the whole batch: a device-side scan over
+            # per-eye extract+render keeps single-eye gather locality and
+            # pays one dispatch total (579/s vs 67/s pipelined on a
+            # degraded host link — see ops/panorama.py::render_batch_scan).
+            from topo_renderer_tpu.ops.panorama import render_batch_scan
 
-            if dma_available():
-                # Single-program batch: one batched-DMA extraction dispatch
-                # + one vmapped render dispatch (per-eye windows keep their
-                # gather locality — see extract_clipmap_windows_batched).
-                win_b = extract_clipmap_windows_batched(self.mosaic, eyes, spec)
-                fn = jax.vmap(
-                    lambda e, s, w: render_panorama(
-                        self.mosaic, e, spec, s, view_mode=view_mode,
-                        fog=fog, windows=w,
-                    )["color"]
-                )
-                return fn(eyes, suns, win_b)
-            outs = [
-                render_panorama(
-                    self.mosaic, eyes[i], spec, suns[i], view_mode=view_mode,
-                    fog=fog,
-                    windows=extract_clipmap_windows(self.mosaic, eyes[i], spec),
-                )["color"]
-                for i in range(eyes.shape[0])
-            ]
-            return jnp.stack(jax.block_until_ready(outs))
+            return render_batch_scan(
+                self.mosaic, eyes, suns, spec,
+                view_mode=jnp.int32(view_mode), fog=fog,
+            )
         fn = jax.vmap(
             lambda e, s: render_panorama(
                 self.mosaic, e, spec, s, view_mode=view_mode, fog=fog
