@@ -341,3 +341,58 @@ def test_render_batch_scan_matches_per_eye():
         )
         assert diff.max() <= 1.5 / 255.0, (i, diff.max())
         assert (diff > 0).mean() < 0.03
+
+
+def test_crossing_prepass_brackets_true_crossing():
+    """`panorama_crossing_prepass` returns analytic [d_lo, d_hi] brackets
+    that must contain the true crossing distance found by the dense exact
+    march along matching rays (the guided perspective march relies on it)."""
+    from topo_renderer_tpu.ops.panorama import panorama_crossing_prepass
+    from topo_renderer_tpu.ops.raycast import march
+
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=700.0)
+    eye = jnp.asarray(cam.eye, jnp.float32)
+    spec = PanoramaSpec(
+        width=128, height=64, n_steps=512, s_near=5.0, s_far=60_000.0,
+        elev_min=-0.5, elev_max=0.1,
+    )
+    pre = panorama_crossing_prepass(mosaic, eye, spec)
+    hit = np.asarray(pre["hit"])
+    d_lo = np.asarray(pre["d_lo"])
+    d_hi = np.asarray(pre["d_hi"])
+    assert 0.05 < hit.mean() < 1.0
+
+    # Rebuild the same ray directions the prepass implies and march them.
+    e = np.asarray(eye, np.float64)
+    up = e / np.linalg.norm(e)
+    lon0 = np.arctan2(e[1], e[0])
+    lat0 = np.arcsin(np.clip(e[2] / np.linalg.norm(e), -1, 1))
+    east = np.array([-np.sin(lon0), np.cos(lon0), 0.0])
+    north = np.array(
+        [-np.sin(lat0) * np.cos(lon0), -np.sin(lat0) * np.sin(lon0), np.cos(lat0)]
+    )
+    W, H = spec.width, spec.height
+    phi = spec.azimuth_start + spec.azimuth_span * (np.arange(W) + 0.5) / W
+    e_hi_, e_lo_ = spec.elevation_range()[1], spec.elevation_range()[0]
+    elev = e_hi_ - (np.arange(H) + 0.5) / H * (e_hi_ - e_lo_)
+    h_dir = (
+        north[None, :] * np.cos(phi)[:, None] + east[None, :] * np.sin(phi)[:, None]
+    )
+    dirs = (
+        np.cos(elev)[:, None, None] * h_dir[None, :, :]
+        + np.sin(elev)[:, None, None] * up[None, None, :]
+    )  # [H, W, 3]
+    hit_m, t_m = march(
+        mosaic, eye, jnp.asarray(dirs, jnp.float32), n_steps=768, n_refine=20
+    )
+    hm = np.asarray(hit_m)
+    tm = np.asarray(t_m)
+
+    both = hit & hm
+    assert both.mean() > 0.05
+    # Bracket containment with a small slack for the profile's bracket ends
+    # (sub-texel discretisation) — the guided march adds 1% + 150 m margins.
+    lo_ok = tm[both] >= d_lo[both] * 0.99 - 150.0
+    hi_ok = tm[both] <= d_hi[both] * 1.01 + 150.0
+    assert lo_ok.mean() > 0.99, lo_ok.mean()
+    assert hi_ok.mean() > 0.99, hi_ok.mean()
