@@ -133,3 +133,35 @@ def test_oneshot_render_cache(frontend):
         png2 = resp.read()
     assert png2 == png1
     assert time.monotonic() - t0 < 1.0
+
+
+def test_frame_before_location_fails_cleanly(frontend):
+    """A session created before any terrain is loaded must get a clean
+    5xx with an explanatory body (not a hang or a blank frame)."""
+    fe, base, _ = frontend
+    status, body, _ = _post(base, "/session")
+    assert status == 200
+    sid = json.loads(body)["id"]
+    req = urllib.request.Request(
+        base + f"/frame?session={sid}",
+        data=json.dumps({"width": 64, "height": 48, "force": True}).encode(),
+        method="POST",
+    )
+    try:
+        resp = urllib.request.urlopen(req, timeout=60)
+        raise AssertionError(f"expected failure, got {resp.status}")
+    except urllib.error.HTTPError as e:
+        assert e.status == 500
+        assert b"no terrain" in e.read()
+
+    # Unknown session id -> 410 (gone), not a server error.
+    req = urllib.request.Request(
+        base + "/frame?session=doesnotexist",
+        data=json.dumps({"force": True}).encode(),
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 410")
+    except urllib.error.HTTPError as e:
+        assert e.status == 410

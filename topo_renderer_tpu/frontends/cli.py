@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p_render.add_argument("--pitch", type=float, default=0.0)
     p_render.add_argument("--fov", type=float, default=45.0)
     p_render.add_argument("--steps", type=int, default=1024)
+    p_render.add_argument("--fast", action="store_true",
+                          help="interactive LOD path (panorama-warp)")
+    p_render.add_argument("--strict-parity", action="store_true",
+                          help="uniform exact march (no guided prepass)")
 
     p_pano = sub.add_parser("panorama", help="360-degree cylindrical panorama")
     _add_common(p_pano)
@@ -106,6 +110,7 @@ def main(argv=None) -> int:
         res = app.engine.render(
             cam, args.width, args.height, n_steps=args.steps,
             pixelize_n=pixelize, with_labels=not args.no_labels,
+            fast=args.fast, guided=not args.strict_parity,
         )
     else:
         spec = (
