@@ -1,9 +1,14 @@
 """Render demo images into docs/ (synthetic alpine terrain, runs on TPU or CPU)."""
 
+import os
 import pathlib
 import sys
 
-sys.path.insert(0, "scripts")
+# Repo root + scripts dir on sys.path regardless of cwd (PYTHONPATH would
+# break the axon PJRT plugin discovery — see scripts/stage_probe.py).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 import jax
 import jax.numpy as jnp

@@ -396,3 +396,29 @@ def test_crossing_prepass_brackets_true_crossing():
     hi_ok = tm[both] <= d_hi[both] * 1.01 + 150.0
     assert lo_ok.mean() > 0.99, lo_ok.mean()
     assert hi_ok.mean() > 0.99, hi_ok.mean()
+
+
+def test_profile_far_stride_close_to_full():
+    """The far-stride knob halves far-segment profile columns; output must
+    stay within the LOD-approximation class of the full-stride render
+    (silhouette-band differences only)."""
+    import dataclasses as dc
+
+    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
+    base = dc.replace(
+        PanoramaSpec.fast(width=256, height=96, elev_min=-0.4, elev_max=0.1,
+                          s_near=5.0, s_far=40_000.0, n_steps=256),
+        clipmap_threshold=0,
+    )
+    far = dc.replace(base, profile_far_stride_m=3_000.0)
+    sun = jnp.asarray(np.asarray(cam.sun_angle.to_vec3()), jnp.float32)
+    a = render_panorama(mosaic, cam.eye, base, sun)
+    b = render_panorama(mosaic, cam.eye, far, sun)
+    ca = np.asarray(a["color"], np.float32)
+    cb = np.asarray(b["color"], np.float32)
+    diff = np.abs(ca - cb).max(axis=-1)
+    # Interior identical; a small azimuth-quantized silhouette band differs.
+    assert (diff > 2.0 / 255.0).mean() < 0.06, (diff > 2/255.).mean()
+    assert np.median(diff) == 0.0
+    ha = np.asarray(a["hit"]); hb = np.asarray(b["hit"])
+    assert (ha != hb).mean() < 0.05

@@ -90,6 +90,13 @@ class PanoramaSpec:
     clipmap_threshold: int = 2_000_000
     near_bilinear_m: float = 0.0  # bilinear-sample profile steps closer than
     # this ground distance (kills nearest-texel blockiness in close-ups)
+    # Double the azimuth stride for profile steps beyond this ground
+    # distance (0 = off). Far terrain's *visibility* varies slowly with
+    # azimuth (shading attributes stay full resolution), so the far
+    # segments sample half the columns and repeat — silhouettes of distant
+    # ridges quantize to 2-column (~2 px) azimuth blocks in exchange for
+    # ~25% fewer profile gathers.
+    profile_far_stride_m: float = 0.0
     # Banded Pallas crossing kernel (ops/pallas_crossing.py): bit-identical
     # output; exploits the running-max/threshold monotonicity to update only
     # the contiguous crossing band per step (O(H+N) row-updates instead of
@@ -860,12 +867,15 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
     parts_e, parts_attr = [], []
     segments = _lod_segments(spec, n_levels, _texel_m(spec, mosaic))
     attr_prof = None
+    s_np = spec.s_near * (spec.s_far / spec.s_near) ** (_np.arange(N) / (N - 1))
+    cuts = []
     if spec.near_bilinear_m > 0.0:
-        # Statically split segments at the bilinear/nearest boundary.
-        s_np = spec.s_near * (spec.s_far / spec.s_near) ** (
-            _np.arange(N) / (N - 1)
-        )
-        k_cut = int(_np.searchsorted(s_np, spec.near_bilinear_m))
+        cuts.append(spec.near_bilinear_m)
+    if spec.profile_far_stride_m > 0.0:
+        cuts.append(spec.profile_far_stride_m)
+    for cut in cuts:
+        # Statically split segments at the bilinear / far-stride boundaries.
+        k_cut = int(_np.searchsorted(s_np, cut))
         split = []
         for level, k0, k1 in segments:
             if k0 < k_cut < k1:
@@ -873,15 +883,22 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
             else:
                 split.append((level, k0, k1))
         segments = split
-    else:
-        s_np = None
     for level, k0, k1 in segments:
         seg_bilinear = (
             spec.near_bilinear_m > 0.0
             and use_attr_prof
-            and s_np is not None
             and s_np[k1 - 1] <= spec.near_bilinear_m
         )
+        # Far segments sample half the azimuth columns and repeat (the
+        # spec's profile_far_stride_m knob); visibility varies slowly with
+        # azimuth at distance while attributes stay full resolution.
+        far2 = (
+            spec.profile_far_stride_m > 0.0
+            and not seg_bilinear
+            and s_np[k0] >= spec.profile_far_stride_m
+            and h_prof_b[0].shape[1] % 2 == 0
+        )
+        hp_seg = tuple(c[:, ::2] for c in h_prof_b) if far2 else h_prof_b
         _, use_window, wsy, wsx, (h_t, w_t) = plan[level]
         if level == 0:
             hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
@@ -903,9 +920,9 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
         cs = jnp.cos(sig_seg)
         sn = jnp.sin(sig_seg)
         sh2 = jnp.sin(0.5 * sig_seg) ** 2
-        sdx = up[0] * cs + h_prof_b[0] * sn
-        sdy = up[1] * cs + h_prof_b[1] * sn
-        sdz = up[2] * cs + h_prof_b[2] * sn
+        sdx = up[0] * cs + hp_seg[0] * sn
+        sdy = up[1] * cs + hp_seg[1] * sn
+        sdz = up[2] * cs + hp_seg[2] * sn
         lat_s = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
         lon_s = jnp.degrees(jnp.arctan2(sdy, sdx))
         gx0, gy0 = raster_from_geo(mosaic, lon_s, lat_s)
@@ -960,14 +977,17 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
                 rows = tbl_a[idx]
                 h = rows[..., 0]
                 bits = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
-                parts_attr.append(
-                    tuple(
-                        jnp.where(
-                            ok, ((bits >> sh) & 0x3FF).astype(jnp.float32), 0.0
-                        )
-                        for sh in (0, 10, 20)
+                comps_part = tuple(
+                    jnp.where(
+                        ok, ((bits >> sh) & 0x3FF).astype(jnp.float32), 0.0
                     )
+                    for sh in (0, 10, 20)
                 )
+                if far2:
+                    comps_part = tuple(
+                        jnp.repeat(c, 2, axis=1) for c in comps_part
+                    )
+                parts_attr.append(comps_part)
             else:
                 h = jnp.take(tbl_h, idx)
         ok = ok & (h > 0.5 * INVALID_HEIGHT)
@@ -976,7 +996,10 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
         # Work in ratio space: visibility ordering only needs a monotone
         # function of elevation, and y/x == tan(e) (x > 0 along the
         # march) — this removes one transcendental per profile sample.
-        parts_e.append(jnp.where(ok, y / x, jnp.float32(-1.0e30)))
+        e_part = jnp.where(ok, y / x, jnp.float32(-1.0e30))
+        if far2:
+            e_part = jnp.repeat(e_part, 2, axis=1)
+        parts_e.append(e_part)
     e_prof = jnp.concatenate(parts_e, axis=0)  # [N, ws]
     if use_attr_prof:
         attr_prof = tuple(
