@@ -150,9 +150,10 @@ def test_clipmap_windows_match_full_tables():
     LOD render exactly — the windows provably cover every sampled texel."""
     import dataclasses as dc
 
-    # n must exceed the aligned window size (384 lanes at n_steps=256) or no
-    # level gets windowed and the test compares the full path against itself.
-    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
+    # n must exceed the aligned window size (512 lanes at n_steps=256 with
+    # the doubled alignment slack) or no level gets windowed and the test
+    # compares the full path against itself.
+    mosaic, cam, _ = small_scene(n=560, span_deg=0.05, height_above=500.0)
     kw = dict(width=128, height=64, elev_min=-0.3, elev_max=0.1,
               s_near=5.0, s_far=40_000.0, n_steps=256)
     full = PanoramaSpec.fast(clipmap=False, **kw)
@@ -186,7 +187,7 @@ def test_pre_extracted_windows_equal():
 
     from topo_renderer_tpu.ops.panorama import extract_clipmap_windows
 
-    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
+    mosaic, cam, _ = small_scene(n=560, span_deg=0.05, height_above=500.0)
     spec = dc.replace(
         PanoramaSpec.fast(width=128, height=64, elev_min=-0.3, elev_max=0.1,
                           s_near=5.0, s_far=40_000.0, n_steps=256),
@@ -218,7 +219,7 @@ def test_window_2d_tables_bitwise_equal_band_path():
     from topo_renderer_tpu.models.camera import Camera
     from topo_renderer_tpu.ops.panorama import extract_clipmap_windows
 
-    tile = make_tile(49, 20, n=320, span_deg=0.05)
+    tile = make_tile(49, 20, n=448, span_deg=0.05)
     with_2d = build_mosaic([tile], window_table_min=0)
     without = build_mosaic([tile], window_table_min=1 << 40)
     assert all(w is not None for w in with_2d.win_attr_2d)
@@ -279,7 +280,7 @@ def test_batched_windows_match_per_eye():
         extract_clipmap_windows_batched,
     )
 
-    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
+    mosaic, cam, _ = small_scene(n=560, span_deg=0.05, height_above=500.0)
     spec = dc.replace(
         PanoramaSpec.fast(width=128, height=64, elev_min=-0.3, elev_max=0.1,
                           s_near=5.0, s_far=40_000.0, n_steps=256),
@@ -317,7 +318,7 @@ def test_render_batch_scan_matches_per_eye():
         render_batch_scan,
     )
 
-    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
+    mosaic, cam, _ = small_scene(n=560, span_deg=0.05, height_above=500.0)
     spec = dc.replace(
         PanoramaSpec.fast(width=128, height=64, elev_min=-0.3, elev_max=0.1,
                           s_near=5.0, s_far=40_000.0, n_steps=256),
@@ -404,7 +405,7 @@ def test_profile_far_stride_close_to_full():
     (silhouette-band differences only)."""
     import dataclasses as dc
 
-    mosaic, cam, _ = small_scene(n=400, span_deg=0.05, height_above=500.0)
+    mosaic, cam, _ = small_scene(n=560, span_deg=0.05, height_above=500.0)
     base = dc.replace(
         PanoramaSpec.fast(width=256, height=96, elev_min=-0.4, elev_max=0.1,
                           s_near=5.0, s_far=40_000.0, n_steps=256),

@@ -151,6 +151,12 @@ class BackgroundRunner:
             self._thread.join(timeout=5)
         self._pool.shutdown(wait=True)
 
+    def idle(self) -> bool:
+        """True when no task is running and no event is queued (a snapshot —
+        callers polling for readiness should re-check after pumping)."""
+        with self._lock:
+            return self._running == 0 and self._events.empty()
+
     def drain(self, timeout: float = 60.0) -> None:
         """Wait until the queue is empty and the pool is idle (test helper)."""
         import time
@@ -186,14 +192,21 @@ class BackgroundRunner:
                     )
             self._post("peaks_ready", {"location": ev.requested, "peaks": peaks})
             # Non-Latin peak names pull in their script's font
-            # (`background_runner.rs:250-254`); failures never block tiles.
+            # (`background_runner.rs:250-254`). Fire-and-forget on its own
+            # thread: a slow font CDN (30 s/URL timeout) must never delay
+            # terrain_ready — labels just use the fallback face until the
+            # font registers. Failures never block tiles either way.
             try:
                 from topo_renderer_tpu.render.fonts import default_library
                 from topo_renderer_tpu.render.text import get_scripts
 
                 scripts = get_scripts(p.name for p in peaks) - {"Latn"}
                 if scripts:
-                    default_library().load_additional_fonts(scripts)
+                    threading.Thread(
+                        target=default_library().load_additional_fonts,
+                        args=(scripts,),
+                        daemon=True,
+                    ).start()
             except Exception:
                 pass
             self._post(

@@ -63,6 +63,10 @@ SESSION_IDLE_TIMEOUT_S = 600.0
 MAX_FRAME_DT_S = 0.1  # clamp stalls so a delayed frame can't teleport the eye
 
 
+class UnknownSession(Exception):
+    """Requested session id is not (or no longer) registered."""
+
+
 def _parse_input_event(d: dict):
     """JSON wire event -> controller event (events.py types)."""
     t = d.get("type")
@@ -186,8 +190,12 @@ class WebFrontend:
                         self._send(200, json.dumps(body).encode(), "application/json")
                     else:
                         self._send(404, b"not found", "text/plain")
-                except KeyError as e:
+                except UnknownSession as e:
                     self._send(410, f"unknown session {e}".encode(), "text/plain")
+                except (KeyError, ValueError) as e:
+                    # Malformed request body — distinct from a dead
+                    # session (clients drop session state on 410).
+                    self._send(400, f"bad request: {e!r}".encode(), "text/plain")
                 except Exception as e:
                     self._send(500, str(e).encode(), "text/plain")
 
@@ -232,7 +240,10 @@ class WebFrontend:
         browser keeps showing the previous frame).
         """
         with self._lock:
-            sess = self._sessions[sid]
+            try:
+                sess = self._sessions[sid]
+            except KeyError:
+                raise UnknownSession(sid) from None
         width = int(body.get("width", 800))
         height = int(body.get("height", 450))
         width = max(64, min(2048, width))
@@ -269,6 +280,28 @@ class WebFrontend:
 
     # ---- location streaming ------------------------------------------------
 
+    def _wait_ready(self, timeout: float = 30.0) -> None:
+        """Wait until terrain arrived and the fetch pool idled.
+
+        Event pumping mutates shared engine/application state, so every pump
+        happens under ``_render_lock`` — a bare ``app.wait_for_terrain()``
+        here would race concurrent ``/frame`` handlers' own pump/render
+        (dict-changed-during-iteration inside the mosaic rebuild, or a
+        silently dropped tile). The lock is released between polls so frames
+        keep flowing while tiles stream in.
+        """
+        deadline = time.monotonic() + timeout
+        have_terrain = False
+        while time.monotonic() < deadline:
+            with self._render_lock:
+                self.app.pump_events()
+                have_terrain = bool(self.app.engine.loaded_locations)
+            if have_terrain and self.app.background.idle():
+                break
+            time.sleep(0.05)
+        with self._render_lock:
+            self.app.pump_events()
+
     def set_location(self, body: dict) -> dict:
         """`set_location` semantics (`lib.rs:26-36`): stream the 100 km tile
         neighborhood, wait for readiness via background notifications (no
@@ -277,13 +310,7 @@ class WebFrontend:
         lon = float(body["longitude"])
         with self._render_lock:
             self.app.change_location(GeoCoord(lat, lon))
-        self.app.wait_for_terrain()
-        try:
-            # Readiness is notification-driven: drain() returns as soon as
-            # the fetch pool goes idle (all tiles arrived or errored).
-            self.app.background.drain(timeout=30.0)
-        except TimeoutError:
-            pass  # render whatever has arrived; stragglers show up later
+        self._wait_ready()
         with self._render_lock:
             self.app.pump_events()
             camera = self.app.data.camera
@@ -310,11 +337,7 @@ class WebFrontend:
         with self._render_lock:
             if self.app.data.current_location != location:
                 self.app.change_location(location)
-        self.app.wait_for_terrain()
-        try:
-            self.app.background.drain(timeout=30.0)
-        except TimeoutError:
-            pass
+        self._wait_ready()
 
         with self._render_lock:
             self.app.pump_events()

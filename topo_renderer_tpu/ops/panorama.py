@@ -91,11 +91,11 @@ class PanoramaSpec:
     near_bilinear_m: float = 0.0  # bilinear-sample profile steps closer than
     # this ground distance (kills nearest-texel blockiness in close-ups)
     # Double the azimuth stride for profile steps beyond this ground
-    # distance (0 = off). Far terrain's *visibility* varies slowly with
-    # azimuth (shading attributes stay full resolution), so the far
-    # segments sample half the columns and repeat — silhouettes of distant
-    # ridges quantize to 2-column (~2 px) azimuth blocks in exchange for
-    # ~25% fewer profile gathers.
+    # distance (0 = off). Far terrain varies slowly with azimuth, so the
+    # far segments sample half the columns and repeat — both visibility
+    # AND the profile-carried shading attributes of distant terrain
+    # quantize to 2-column (~2 px) azimuth blocks, in exchange for fewer
+    # profile gathers (~5% off config 4 at 8 km; an opt-in serving knob).
     profile_far_stride_m: float = 0.0
     # Banded Pallas crossing kernel (ops/pallas_crossing.py): bit-identical
     # output; exploits the running-max/threshold monotonicity to update only
@@ -208,11 +208,16 @@ def _clipmap_window_plan(spec: PanoramaSpec, mosaic):
     # radius (in real texels) by the ratio; grow the windows to keep coverage.
     ratio = max(1.0, _texel_m(spec, mosaic) / float(getattr(mosaic, "texel_m", 92.6)))
     need = int(_np.ceil(2.5 * ratio / dlog)) + 16
-    # Window origins are aligned down to the (8, 128) HBM tiling so the
-    # Pallas DMA extraction can slice the tables in place; the extra rows/
-    # lanes keep the +/-need coverage radius under the worst alignment shift.
-    wsy_req = -(-(2 * need + 8) // 8) * 8
-    wsx_req = -(-(2 * need + 128) // 128) * 128
+    # Window origins are aligned DOWN to the (8, 128) HBM tiling so the
+    # Pallas DMA extraction can slice the tables in place. Down-alignment
+    # shifts the window up to 7 rows / 127 lanes off center, and the far
+    # (east/south) edge loses exactly that shift — so the slack must cover
+    # TWICE the worst shift to preserve the +/-need coverage radius on both
+    # sides (+16 rows, +256 lanes; +8/+128 left the east edge up to 63
+    # lanes short, surfacing as sky holes in the easternmost azimuths of a
+    # level for unlucky eye positions).
+    wsy_req = -(-(2 * need + 16) // 8) * 8
+    wsx_req = -(-(2 * need + 256) // 128) * 128
     plan = []
     for level in range(n_levels + 1):
         shape_l = mosaic.shape if level == 0 else mosaic.mip_shapes[level - 1]
@@ -243,6 +248,67 @@ def _bilinear_levels(spec: PanoramaSpec, n_levels: int, texel_m: float) -> set:
         for level, k0, k1 in _lod_segments(spec, n_levels, texel_m)
         if k0 < k_cut
     }
+
+
+def _window_origin(gx_e, gy_e, level: int, wsy: int, wsx: int, h_t: int, w_t: int):
+    """Aligned eye-centered window origin for one clipmap level.
+
+    Shared by the replicated, batched and row-sharded extractors — the
+    clip + (8, 128) down-alignment semantics must stay identical in all
+    three or their bit-parity guarantees break. Works elementwise for
+    batched ``gx_e``/``gy_e``.
+    """
+    s = float(2**level)
+    off = (s - 1.0) / 2.0
+    sx = jnp.clip(
+        jnp.round((gx_e - off) / s).astype(jnp.int32) - wsx // 2, 0, w_t - wsx
+    )
+    sx = (sx // 128) * 128
+    sy = jnp.clip(
+        jnp.round((gy_e - off) / s).astype(jnp.int32) - wsy // 2, 0, h_t - wsy
+    )
+    sy = (sy // 8) * 8
+    return sx, sy
+
+
+def _slice_level_xla(mosaic, level, use_attr, quad_levels, sy, sx, wsy, wsx, w_t):
+    """XLA window slicing for one level (no Pallas DMA): returns
+    ``(tbl_h, tbl_a, tbl_q)``. Shared by the replicated extractor's fallback
+    branches and the sharded extractor's replicated levels."""
+    win2d = (
+        mosaic.win_attr_2d[level]
+        if level < len(getattr(mosaic, "win_attr_2d", ()))
+        else None
+    )
+    if level == 0:
+        hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
+    else:
+        hf = mosaic.mip_heights_flat[level - 1]
+        af = mosaic.mip_attr_flat[level - 1]
+    tbl_h = tbl_a = tbl_q = None
+    if use_attr and win2d is not None:
+        sl = jax.lax.dynamic_slice(win2d, (jnp.int32(0), sy, sx), (2, wsy, wsx))
+        tbl_a = sl.reshape(2, -1).T
+        if level in quad_levels:
+            tbl_q = _quad_rows(sl)
+    elif use_attr:
+        rows_a = jax.lax.dynamic_slice(
+            af, (sy * w_t, 0), (wsy * w_t, 2)
+        ).reshape(wsy, w_t, 2)
+        sl = jax.lax.dynamic_slice(
+            rows_a, (jnp.int32(0), sx, jnp.int32(0)), (wsy, wsx, 2)
+        )
+        tbl_a = sl.reshape(-1, 2)
+        if level in quad_levels:
+            tbl_q = _quad_rows(jnp.moveaxis(sl, -1, 0))
+    else:
+        rows_h = jax.lax.dynamic_slice(hf, (sy * w_t,), (wsy * w_t,)).reshape(
+            wsy, w_t
+        )
+        tbl_h = jax.lax.dynamic_slice(
+            rows_h, (jnp.int32(0), sx), (wsy, wsx)
+        ).reshape(-1)
+    return tbl_h, tbl_a, tbl_q
 
 
 def _quad_rows(win):
@@ -304,63 +370,26 @@ def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec):
         if not use_window:
             out.append((None, None, None, None, None))
             continue
-        if level == 0:
-            hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
-        else:
-            hf = mosaic.mip_heights_flat[level - 1]
-            af = mosaic.mip_attr_flat[level - 1]
-        s = float(2**level)
-        off = (s - 1.0) / 2.0
-        # Origin aligned down to the (8, 128) tiling (DMA slice requirement);
-        # the plan's window sizes carry the alignment slack.
-        sx = jnp.clip(
-            jnp.round((gx_e - off) / s).astype(jnp.int32) - wsx // 2, 0, w_t - wsx
-        )
-        sx = (sx // 128) * 128
-        sy = jnp.clip(
-            jnp.round((gy_e - off) / s).astype(jnp.int32) - wsy // 2, 0, h_t - wsy
-        )
-        sy = (sy // 8) * 8
+        sx, sy = _window_origin(gx_e, gy_e, level, wsy, wsx, h_t, w_t)
         win2d = (
             mosaic.win_attr_2d[level]
             if level < len(getattr(mosaic, "win_attr_2d", ()))
             else None
         )
         tbl_h = tbl_a = tbl_q = None
-        if use_attr and win2d is not None:
-            if dma_available():
-                # One bounded DMA per level, batched below into a single
-                # kernel: reads exactly the window texels; extraction cost is
-                # independent of table size (XLA slicing re-streams whole
-                # used tables via cross-program prefetch, ~9 ms/frame at
-                # 100-tile scale).
-                slots[level] = len(dma_tables)
-                dma_tables.append(win2d)
-                dma_origins.append(jnp.stack([sy, sx]))
-            else:
-                sl = jax.lax.dynamic_slice(
-                    win2d, (jnp.int32(0), sy, sx), (2, wsy, wsx)
-                )
-                tbl_a = sl.reshape(2, -1).T
-                if level in quad_levels:
-                    tbl_q = _quad_rows(sl)
-        elif use_attr:
-            rows_a = jax.lax.dynamic_slice(
-                af, (sy * w_t, 0), (wsy * w_t, 2)
-            ).reshape(wsy, w_t, 2)
-            sl = jax.lax.dynamic_slice(
-                rows_a, (jnp.int32(0), sx, jnp.int32(0)), (wsy, wsx, 2)
-            )
-            tbl_a = sl.reshape(-1, 2)
-            if level in quad_levels:
-                tbl_q = _quad_rows(jnp.moveaxis(sl, -1, 0))
+        if use_attr and win2d is not None and dma_available():
+            # One bounded DMA per level, batched below into a single
+            # kernel: reads exactly the window texels; extraction cost is
+            # independent of table size (XLA slicing re-streams whole
+            # used tables via cross-program prefetch, ~9 ms/frame at
+            # 100-tile scale).
+            slots[level] = len(dma_tables)
+            dma_tables.append(win2d)
+            dma_origins.append(jnp.stack([sy, sx]))
         else:
-            rows_h = jax.lax.dynamic_slice(hf, (sy * w_t,), (wsy * w_t,)).reshape(
-                wsy, w_t
+            tbl_h, tbl_a, tbl_q = _slice_level_xla(
+                mosaic, level, use_attr, quad_levels, sy, sx, wsy, wsx, w_t
             )
-            tbl_h = jax.lax.dynamic_slice(
-                rows_h, (jnp.int32(0), sx), (wsy, wsx)
-            ).reshape(-1)
         out.append((tbl_h, tbl_a, tbl_q, sx, sy))
 
     if dma_tables:
@@ -690,16 +719,7 @@ def extract_clipmap_windows_batched(mosaic, eyes, spec: PanoramaSpec):
     for level, use_window, wsy, wsx, (h_t, w_t) in plan:
         if not use_window:
             continue
-        s = float(2**level)
-        off = (s - 1.0) / 2.0
-        sx = jnp.clip(
-            jnp.round((gx_e - off) / s).astype(jnp.int32) - wsx // 2, 0, w_t - wsx
-        )
-        sx = (sx // 128) * 128
-        sy = jnp.clip(
-            jnp.round((gy_e - off) / s).astype(jnp.int32) - wsy // 2, 0, h_t - wsy
-        )
-        sy = (sy // 8) * 8
+        sx, sy = _window_origin(gx_e, gy_e, level, wsy, wsx, h_t, w_t)
         sxy[level] = (sx, sy)
         tables.append(mosaic.win_attr_2d[level])
         origins.append(jnp.stack([sy, sx], axis=-1))  # [B, 2]
@@ -890,8 +910,8 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
             and s_np[k1 - 1] <= spec.near_bilinear_m
         )
         # Far segments sample half the azimuth columns and repeat (the
-        # spec's profile_far_stride_m knob); visibility varies slowly with
-        # azimuth at distance while attributes stay full resolution.
+        # spec's profile_far_stride_m knob); both visibility and the
+        # profile-carried attributes quantize to 2-column blocks there.
         far2 = (
             spec.profile_far_stride_m > 0.0
             and not seg_bilinear

@@ -419,7 +419,7 @@ def _window_march(mosaic, eye, dirs, t_min, t_max, any_hit, *,
         1,
         n_window + 1,
         body,
-        (hit0, jnp.where(hit0, t_lo, t_lo), jnp.where(hit0, t_lo, t_hi), f0),
+        (hit0, t_lo, jnp.where(hit0, t_lo, t_hi), f0),
     )
 
     def refine(_, state):

@@ -43,7 +43,9 @@ from topo_renderer_tpu.ops.panorama import (
     _bilinear_levels,
     _clipmap_window_plan,
     _quad_rows,
+    _slice_level_xla,
     _texel_m,
+    _window_origin,
 )
 from topo_renderer_tpu.ops.surface import raster_from_geo
 
@@ -194,16 +196,7 @@ def extract_clipmap_windows_sharded(
         if not use_window:
             out.append((None, None, None, None, None))
             continue
-        s = float(2**level)
-        off = (s - 1.0) / 2.0
-        sx = jnp.clip(
-            jnp.round((gx_e - off) / s).astype(jnp.int32) - wsx // 2, 0, w_t - wsx
-        )
-        sx = (sx // 128) * 128
-        sy = jnp.clip(
-            jnp.round((gy_e - off) / s).astype(jnp.int32) - wsy // 2, 0, h_t - wsy
-        )
-        sy = (sy // 8) * 8
+        sx, sy = _window_origin(gx_e, gy_e, level, wsy, wsx, h_t, w_t)
 
         win2d = (
             mosaic.win_attr_2d[level]
@@ -227,37 +220,11 @@ def extract_clipmap_windows_sharded(
 
         tbl_h = tbl_a = tbl_q = None
         if not sharded:
-            # Replicated level: plain local slicing, identical to the
-            # replicated extraction's non-DMA branches.
-            if level == 0:
-                hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
-            else:
-                hf = mosaic.mip_heights_flat[level - 1]
-                af = mosaic.mip_attr_flat[level - 1]
-            if use_attr and win2d is not None:
-                sl = jax.lax.dynamic_slice(
-                    win2d, (jnp.int32(0), sy, sx), (2, wsy, wsx)
-                )
-                tbl_a = sl.reshape(2, -1).T
-                if level in quad_levels:
-                    tbl_q = _quad_rows(sl)
-            elif use_attr:
-                rows_a = jax.lax.dynamic_slice(
-                    af, (sy * w_t, 0), (wsy * w_t, 2)
-                ).reshape(wsy, w_t, 2)
-                sl = jax.lax.dynamic_slice(
-                    rows_a, (jnp.int32(0), sx, jnp.int32(0)), (wsy, wsx, 2)
-                )
-                tbl_a = sl.reshape(-1, 2)
-                if level in quad_levels:
-                    tbl_q = _quad_rows(jnp.moveaxis(sl, -1, 0))
-            else:
-                rows_h = jax.lax.dynamic_slice(
-                    hf, (sy * w_t,), (wsy * w_t,)
-                ).reshape(wsy, w_t)
-                tbl_h = jax.lax.dynamic_slice(
-                    rows_h, (jnp.int32(0), sx), (wsy, wsx)
-                ).reshape(-1)
+            # Replicated level: plain local slicing, the same helper the
+            # replicated extractor's non-DMA branches use.
+            tbl_h, tbl_a, tbl_q = _slice_level_xla(
+                mosaic, level, use_attr, quad_levels, sy, sx, wsy, wsx, w_t
+            )
         elif use_attr and win2d is not None:
 
             def slicer(local, sy, sx):

@@ -137,6 +137,41 @@ class RenderEngine:
             valid[j] = True
         return entries, jnp.asarray(pos), jnp.asarray(valid)
 
+    def _label_pass(self, entries, vis):
+        """Visibility results -> per-tile label lists + greedy row layout.
+
+        One packed transfer: three separate tiny device->host pulls pay
+        three link round-trips (the label pass's dominant cost on a
+        tunneled TPU).
+        """
+        packed = np.asarray(
+            jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
+        )
+        visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
+        visible_labels: dict[GeoLocation, list] = {}
+        for j, (loc, i, inst) in enumerate(entries):
+            inst.visible = bool(visible[j])
+            if inst.visible:
+                visible_labels.setdefault(loc, []).append(
+                    (i, (int(xs[j]), int(ys[j])))
+                )
+        layouts = text_mod.layout_labels(
+            visible_labels,
+            lambda loc, i: text_mod.measure_text(self._peaks[loc][i].name),
+        )
+        return visible_labels, layouts
+
+    @staticmethod
+    def _fov_bucket_rad(camera) -> float:
+        import math
+
+        fov = math.degrees(float(camera.fov_y))
+        bucket = next(
+            (b for b in _FOV_BUCKETS_DEG if b >= fov - 1e-6),
+            _FOV_BUCKETS_DEG[-1],
+        )
+        return math.radians(bucket)
+
     # ---- rendering -------------------------------------------------------
 
     def render(
@@ -165,13 +200,8 @@ class RenderEngine:
         silhouette features. Pass ``guided=False`` for strict parity work.
         """
         mosaic = self.mosaic
+        fov_hint = self._fov_bucket_rad(camera)
         if fast:
-            import math
-
-            fov = math.degrees(float(camera.fov_y))
-            bucket = next(
-                (b for b in _FOV_BUCKETS_DEG if b >= fov - 1e-6), _FOV_BUCKETS_DEG[-1]
-            )
             out = render_perspective_fast(
                 mosaic,
                 camera,
@@ -179,16 +209,9 @@ class RenderEngine:
                 height=height,
                 n_steps=min(n_steps, 512),
                 pixelize_n=pixelize_n,
-                fov_hint=math.radians(bucket),
+                fov_hint=fov_hint,
             )
         else:
-            import math
-
-            fov = math.degrees(float(camera.fov_y))
-            bucket = next(
-                (b for b in _FOV_BUCKETS_DEG if b >= fov - 1e-6),
-                _FOV_BUCKETS_DEG[-1],
-            )
             out = render_perspective(
                 mosaic,
                 camera,
@@ -198,7 +221,7 @@ class RenderEngine:
                 n_refine=n_refine,
                 pixelize_n=pixelize_n,
                 guided=guided,
-                fov_hint=math.radians(bucket) if guided else None,
+                fov_hint=fov_hint if guided else None,
             )
         vp = camera.build_view_proj_matrix(float(width), float(height))
 
@@ -212,23 +235,7 @@ class RenderEngine:
                 # reference's absolute 10 m applies to the exact path.
                 tolerance_rel=0.05 if fast else 0.0,
             )
-            # One packed transfer: three separate tiny device->host pulls
-            # pay three link round-trips (the label pass's dominant cost on
-            # a tunneled TPU).
-            packed = np.asarray(
-                jnp.stack(
-                    [vis["visible"].astype(jnp.int32), vis["x"], vis["y"]]
-                )
-            )
-            visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
-            for j, (loc, i, inst) in enumerate(entries):
-                inst.visible = bool(visible[j])
-                if inst.visible:
-                    visible_labels.setdefault(loc, []).append((i, (int(xs[j]), int(ys[j]))))
-            layouts = text_mod.layout_labels(
-                visible_labels,
-                lambda loc, i: text_mod.measure_text(self._peaks[loc][i].name),
-            )
+            visible_labels, layouts = self._label_pass(entries, vis)
 
         color_linear = np.asarray(out["color"])
         color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
@@ -292,23 +299,7 @@ class RenderEngine:
                 pos, valid, eye, spec, out["depth"],
                 tolerance_rel=0.05 if spec.lod else 0.0,
             )
-            # One packed transfer: three separate tiny device->host pulls
-            # pay three link round-trips (the label pass's dominant cost on
-            # a tunneled TPU).
-            packed = np.asarray(
-                jnp.stack(
-                    [vis["visible"].astype(jnp.int32), vis["x"], vis["y"]]
-                )
-            )
-            visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
-            for j, (loc, i, inst) in enumerate(entries):
-                inst.visible = bool(visible[j])
-                if inst.visible:
-                    visible_labels.setdefault(loc, []).append((i, (int(xs[j]), int(ys[j]))))
-            layouts = text_mod.layout_labels(
-                visible_labels,
-                lambda loc, i: text_mod.measure_text(self._peaks[loc][i].name),
-            )
+            visible_labels, layouts = self._label_pass(entries, vis)
 
         color_linear = np.asarray(out["color"])
         color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))

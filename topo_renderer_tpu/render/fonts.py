@@ -117,12 +117,16 @@ class FontLibrary:
                 for url in self.source_map.get(tag, ()):
                     if url not in self._loaded_urls:
                         urls.append(url)
+                        # Claimed up front so concurrent callers don't fetch
+                        # the same URL twice; released again on failure below
+                        # so transient network errors retry on a later call.
                         self._loaded_urls.add(url)
         n = 0
         for url in urls:
             path = self.cache_dir / (
                 hashlib.sha256(url.encode()).hexdigest()[:24] + ".ttf"
             )
+            ok = False
             try:
                 if not path.exists():
                     if not self.fetch_enabled:
@@ -132,10 +136,15 @@ class FontLibrary:
                     with urllib.request.urlopen(url, timeout=30) as r:
                         tmp.write_bytes(r.read())
                     tmp.replace(path)
-                if self._register_file(path):
+                ok = self._register_file(path)
+                if ok:
                     n += 1
             except Exception:
-                continue
+                ok = False
+            finally:
+                if not ok:
+                    with self._lock:
+                        self._loaded_urls.discard(url)
         return n
 
     # -- selection ---------------------------------------------------------
