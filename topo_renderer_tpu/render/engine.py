@@ -46,6 +46,39 @@ from topo_renderer_tpu.render import text as text_mod
 from topo_renderer_tpu.render.overlay import composite_labels
 
 
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "n_steps", "pixelize_n", "fov_hint", "tolerance_rel",
+    ),
+)
+def _fast_frame_with_labels(
+    mosaic, camera, pos, valid, *, width, height, n_steps, pixelize_n,
+    fov_hint, tolerance_rel,
+):
+    """Interactive fast frame AND label visibility in ONE program.
+
+    The browser free-fly loop renders + label-tests every frame; running
+    them as separate jit dispatches pays two host round-trips per frame on
+    a tunneled TPU. Fused, the depth never leaves the device and the packed
+    visibility rides back with the frame.
+    """
+    out = render_perspective_fast(
+        mosaic, camera, width=width, height=height, n_steps=n_steps,
+        pixelize_n=pixelize_n, fov_hint=fov_hint,
+    )
+    vp = camera.build_view_proj_matrix(float(width), float(height))
+    vis = peak_visibility(
+        pos, valid, vp, out["depth"], width=width, height=height,
+        tolerance_rel=tolerance_rel,
+    )
+    packed = jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
+    return out, packed
+
+
 @dataclasses.dataclass
 class RenderResult:
     color: np.ndarray  # u8 sRGB [H, W, 3]
@@ -147,6 +180,9 @@ class RenderEngine:
         packed = np.asarray(
             jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
         )
+        return self._label_pass_packed(entries, packed)
+
+    def _label_pass_packed(self, entries, packed):
         visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
         visible_labels: dict[GeoLocation, list] = {}
         for j, (loc, i, inst) in enumerate(entries):
@@ -201,7 +237,25 @@ class RenderEngine:
         """
         mosaic = self.mosaic
         fov_hint = self._fov_bucket_rad(camera)
-        if fast:
+        visible_labels: dict[GeoLocation, list] = {}
+        layouts: list = []
+        want_labels = with_labels and bool(self._peaks)
+        if fast and want_labels:
+            # One program for frame + label visibility (one dispatch/frame
+            # on the interactive path instead of two).
+            entries, pos, valid = self._padded_peaks()
+            out, packed_dev = _fast_frame_with_labels(
+                mosaic, camera, pos, valid,
+                width=width, height=height, n_steps=min(n_steps, 512),
+                pixelize_n=pixelize_n, fov_hint=fov_hint,
+                # LOD-mode depth carries distance-proportional error; the
+                # reference's absolute 10 m applies to the exact path.
+                tolerance_rel=0.05,
+            )
+            visible_labels, layouts = self._label_pass_packed(
+                entries, np.asarray(packed_dev)
+            )
+        elif fast:
             out = render_perspective_fast(
                 mosaic,
                 camera,
@@ -223,19 +277,14 @@ class RenderEngine:
                 guided=guided,
                 fov_hint=fov_hint if guided else None,
             )
-        vp = camera.build_view_proj_matrix(float(width), float(height))
-
-        visible_labels: dict[GeoLocation, list] = {}
-        layouts: list = []
-        if with_labels and self._peaks:
-            entries, pos, valid = self._padded_peaks()
-            vis = peak_visibility(
-                pos, valid, vp, out["depth"], width=width, height=height,
-                # LOD-mode depth carries distance-proportional error; the
-                # reference's absolute 10 m applies to the exact path.
-                tolerance_rel=0.05 if fast else 0.0,
-            )
-            visible_labels, layouts = self._label_pass(entries, vis)
+            if want_labels:
+                vp = camera.build_view_proj_matrix(float(width), float(height))
+                entries, pos, valid = self._padded_peaks()
+                vis = peak_visibility(
+                    pos, valid, vp, out["depth"], width=width, height=height,
+                    tolerance_rel=0.0,
+                )
+                visible_labels, layouts = self._label_pass(entries, vis)
 
         color_linear = np.asarray(out["color"])
         color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
