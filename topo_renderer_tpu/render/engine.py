@@ -79,6 +79,28 @@ def _fast_frame_with_labels(
     return out, packed
 
 
+@_partial(
+    jax.jit,
+    static_argnames=("spec", "fog", "pixelize_n", "tolerance_rel"),
+)
+def _panorama_with_labels(
+    mosaic, eye, spec, sun_direction, view_mode, pos, valid, windows, *,
+    fog, pixelize_n, tolerance_rel,
+):
+    """Panorama + label visibility in one program (same rationale as
+    `_fast_frame_with_labels`: one dispatch instead of two; the depth
+    stays on device)."""
+    out = render_panorama(
+        mosaic, eye, spec, sun_direction, view_mode=view_mode,
+        fog=fog, pixelize_n=pixelize_n, windows=windows,
+    )
+    vis = peak_visibility_panorama(
+        pos, valid, eye, spec, out["depth"], tolerance_rel=tolerance_rel
+    )
+    packed = jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
+    return out, packed
+
+
 @dataclasses.dataclass
 class RenderResult:
     color: np.ndarray  # u8 sRGB [H, W, 3]
@@ -335,20 +357,25 @@ class RenderEngine:
         windows = None
         if spec.lod and spec.clipmap and self.mosaic.mip_shapes:
             windows = extract_clipmap_windows(self.mosaic, eye, spec)
-        out = render_panorama(
-            self.mosaic, eye, spec, sun_direction, view_mode=view_mode,
-            fog=fog, pixelize_n=pixelize_n, windows=windows,
-        )
 
         visible_labels: dict[GeoLocation, list] = {}
         layouts: list = []
         if with_labels and self._peaks:
             entries, pos, valid = self._padded_peaks()
-            vis = peak_visibility_panorama(
-                pos, valid, eye, spec, out["depth"],
+            out, packed_dev = _panorama_with_labels(
+                self.mosaic, eye, spec, jnp.asarray(sun_direction, jnp.float32),
+                jnp.int32(view_mode), pos, valid, windows,
+                fog=fog, pixelize_n=pixelize_n,
                 tolerance_rel=0.05 if spec.lod else 0.0,
             )
-            visible_labels, layouts = self._label_pass(entries, vis)
+            visible_labels, layouts = self._label_pass_packed(
+                entries, np.asarray(packed_dev)
+            )
+        else:
+            out = render_panorama(
+                self.mosaic, eye, spec, sun_direction, view_mode=view_mode,
+                fog=fog, pixelize_n=pixelize_n, windows=windows,
+            )
 
         color_linear = np.asarray(out["color"])
         color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
