@@ -100,7 +100,7 @@ class DesktopFrontend:
 
     def render_frame(self):
         """One application step -> sRGB u8 frame (or None pre-terrain)."""
-        res = self.app.step(fast=True)
+        res = self.app.step(fast=True, host_copy=False)
         return None if res is None else np.asarray(res.color)
 
     # ---- Tk shell --------------------------------------------------------

@@ -275,6 +275,7 @@ class WebFrontend:
             res = self.app.engine.render(
                 cam, width, height, fast=True,
                 with_labels=bool(body.get("labels", True)),
+                host_copy=False,  # only the u8 frame crosses the link
             )
         return encode_jpeg(res.color), state, True
 

@@ -104,6 +104,9 @@ def _panorama_with_labels(
 @dataclasses.dataclass
 class RenderResult:
     color: np.ndarray  # u8 sRGB [H, W, 3]
+    # With host_copy=False these four stay DEVICE arrays (no link transfer
+    # — ~8.5 MB/frame of f32 planes at 800x450, which dominates interactive
+    # frame time on a tunneled TPU); np.asarray() them on demand.
     color_linear: np.ndarray  # f32 [H, W, 3]
     depth: np.ndarray  # f32 [H, W]
     distance: np.ndarray
@@ -245,6 +248,7 @@ class RenderEngine:
         composite: bool = True,
         fast: bool = False,
         guided: bool = True,
+        host_copy: bool = True,
     ) -> RenderResult:
         """Full frame: terrain + postprocess + label pass (reference render
         loop §3.3/§3.4 of SURVEY).
@@ -308,7 +312,7 @@ class RenderEngine:
                 )
                 visible_labels, layouts = self._label_pass(entries, vis)
 
-        color_linear = np.asarray(out["color"])
+        cp = np.asarray if host_copy else (lambda a: a)
         color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
         if composite and layouts:
             names = {
@@ -320,10 +324,10 @@ class RenderEngine:
 
         return RenderResult(
             color=color_u8,
-            color_linear=color_linear,
-            depth=np.asarray(out["depth"]),
-            distance=np.asarray(out["distance"]),
-            hit=np.asarray(out["hit"]),
+            color_linear=cp(out["color"]),
+            depth=cp(out["depth"]),
+            distance=cp(out["distance"]),
+            hit=cp(out["hit"]),
             visible_labels=visible_labels,
             layouts=layouts,
         )
@@ -339,6 +343,7 @@ class RenderEngine:
         pixelize_n=None,
         with_labels: bool = True,
         composite: bool = True,
+        host_copy: bool = True,
     ) -> RenderResult:
         """Cylindrical panorama with the same label pass (TPU-native mode)."""
         if isinstance(camera_or_eye, Camera):
@@ -377,7 +382,7 @@ class RenderEngine:
                 fog=fog, pixelize_n=pixelize_n, windows=windows,
             )
 
-        color_linear = np.asarray(out["color"])
+        cp = np.asarray if host_copy else (lambda a: a)
         color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
         if composite and layouts:
             names = {
@@ -389,10 +394,10 @@ class RenderEngine:
 
         return RenderResult(
             color=color_u8,
-            color_linear=color_linear,
-            depth=np.asarray(out["depth"]),
-            distance=np.asarray(out["distance"]),
-            hit=np.asarray(out["hit"]),
+            color_linear=cp(out["color"]),
+            depth=cp(out["depth"]),
+            distance=cp(out["distance"]),
+            hit=cp(out["hit"]),
             visible_labels=visible_labels,
             layouts=layouts,
         )
