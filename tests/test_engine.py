@@ -120,3 +120,21 @@ def test_multi_tile_mosaic_engine():
     # Seam column carries stitched (not border) normals.
     normals = np.asarray(mosaic.normals)
     assert not np.allclose(normals[16, 32], [-1, -1, -1])
+
+
+def test_render_host_copy_false_keeps_device_arrays():
+    """host_copy=False must still deliver a host u8 frame (the interactive
+    loop's only need) while the f32 planes stay device-resident."""
+    import jax
+
+    engine, cam, _ = build_engine()
+    res = engine.render(cam, 64, 40, n_steps=64, n_refine=4, fast=True,
+                        host_copy=False)
+    assert isinstance(res.color, np.ndarray) and res.color.dtype == np.uint8
+    assert isinstance(res.depth, jax.Array)
+    assert isinstance(res.color_linear, jax.Array)
+    # Still materializable on demand.
+    assert np.asarray(res.depth).shape == (40, 64)
+
+    res2 = engine.render(cam, 64, 40, n_steps=64, n_refine=4, fast=True)
+    assert isinstance(res2.depth, np.ndarray)
