@@ -138,3 +138,37 @@ def test_render_host_copy_false_keeps_device_arrays():
 
     res2 = engine.render(cam, 64, 40, n_steps=64, n_refine=4, fast=True)
     assert isinstance(res2.depth, np.ndarray)
+
+
+def test_engine_render_batch_clipmap_uses_scan():
+    """Engine render_batch with a clipmap LOD spec routes through the
+    one-program scan path and matches the per-eye two-program render."""
+    import dataclasses as dc
+
+    from topo_renderer_tpu.ops.panorama import (
+        extract_clipmap_windows,
+        render_panorama,
+    )
+
+    engine, cam, _ = build_engine()
+    spec = dc.replace(
+        PanoramaSpec.fast(width=128, height=48, n_steps=128,
+                          s_near=5.0, s_far=40_000.0),
+        clipmap_threshold=0,
+    )
+    eyes = np.stack([np.asarray(cam.eye, np.float32)] * 2)
+    suns = np.stack([np.asarray(cam.sun_angle.to_vec3(), np.float32)] * 2)
+    batch = np.asarray(engine.render_batch(eyes, spec, suns))
+    assert batch.shape == (2, 48, 128, 3)
+    assert np.isfinite(batch).all()
+    np.testing.assert_array_equal(batch[0], batch[1])
+
+    win = extract_clipmap_windows(engine.mosaic, eyes[0], spec)
+    want = np.asarray(
+        render_panorama(engine.mosaic, eyes[0], spec, suns[0], windows=win)[
+            "color"
+        ],
+        np.float32,
+    )
+    diff = np.abs(batch[0].astype(np.float32) - want)
+    assert diff.max() <= 1.5 / 255.0
