@@ -91,6 +91,19 @@ def _parse_input_event(d: dict):
 def _camera_state(camera) -> dict:
     eye = np.asarray(camera.eye, np.float64)
     r = float(np.linalg.norm(eye))
+    # Before any location is set the default camera sits at the origin
+    # (r == 0): dividing would make NaNs that json.dumps serializes as
+    # literal `NaN` — invalid JSON the browser's JSON.parse rejects.
+    if r <= 0.0:
+        return {
+            "latitude": 0.0,
+            "longitude": 0.0,
+            "altitude": -R0,
+            "fov_deg": math.degrees(float(camera.fov_y)),
+            "pitch": float(camera.pitch),
+            "yaw": float(camera.yaw),
+            "view_mode": int(camera.view_mode),
+        }
     return {
         "latitude": math.degrees(math.asin(max(-1.0, min(1.0, eye[2] / r)))),
         "longitude": math.degrees(math.atan2(eye[1], eye[0])),
@@ -250,6 +263,8 @@ class WebFrontend:
         height = max(64, min(1152, height))
         with sess.lock:
             sess.last_seen = time.monotonic()
+            prev_camera = sess.camera
+            prev_frame_t = sess.last_frame_t
             for d in body.get("events", ()):
                 ev, is_device = _parse_input_event(d)
                 if is_device:
@@ -266,17 +281,26 @@ class WebFrontend:
         state = _camera_state(cam)
         if not changed and not body.get("force"):
             return None, state, False
-        with self._render_lock:
-            self.app.pump_events()
-            with self._lock:
-                self._status["loaded"] = len(self.app.engine.loaded_locations)
-            if not self.app.engine.loaded_locations:
-                raise RuntimeError("no terrain loaded yet")
-            res = self.app.engine.render(
-                cam, width, height, fast=True,
-                with_labels=bool(body.get("labels", True)),
-                host_copy=False,  # only the u8 frame crosses the link
-            )
+        try:
+            with self._render_lock:
+                self.app.pump_events()
+                with self._lock:
+                    self._status["loaded"] = len(self.app.engine.loaded_locations)
+                if not self.app.engine.loaded_locations:
+                    raise RuntimeError("no terrain loaded yet")
+                res = self.app.engine.render(
+                    cam, width, height, fast=True,
+                    with_labels=bool(body.get("labels", True)),
+                    host_copy=False,  # only the u8 frame crosses the link
+                )
+        except Exception:
+            # No frame was delivered: roll the camera back so the consumed
+            # input can't silently teleport the view when rendering recovers
+            # (e.g. /frame raced /location before any terrain loaded).
+            with sess.lock:
+                sess.camera = prev_camera
+                sess.last_frame_t = prev_frame_t
+            raise
         return encode_jpeg(res.color), state, True
 
     # ---- location streaming ------------------------------------------------

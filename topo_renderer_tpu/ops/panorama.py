@@ -328,8 +328,8 @@ def _quad_rows(win):
     return jnp.stack([p.reshape(-1) for p in planes], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec):
+@partial(jax.jit, static_argnames=("spec", "force_xla"))
+def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec, *, force_xla: bool = False):
     """Slice the eye-centered clipmap windows out of the mosaic tables.
 
     Runs as its own (tiny) XLA program so the multi-GB mosaic tables are
@@ -377,7 +377,7 @@ def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec):
             else None
         )
         tbl_h = tbl_a = tbl_q = None
-        if use_attr and win2d is not None and dma_available():
+        if use_attr and win2d is not None and dma_available() and not force_xla:
             # One bounded DMA per level, batched below into a single
             # kernel: reads exactly the window texels; extraction cost is
             # independent of table size (XLA slicing re-streams whole
@@ -703,8 +703,11 @@ def extract_clipmap_windows_batched(mosaic, eyes, spec: PanoramaSpec):
         and windowed
         and all(lv in have_2d for lv, *_ in windowed)
     ):
+        # The manual-DMA (ANY-memspace) pallas_call is not batchable; when
+        # only the fallback works for this spec, force the XLA slicing path
+        # inside the vmapped extractor even where dma_available() is true.
         return jax.vmap(
-            lambda e: extract_clipmap_windows(mosaic, e, spec)
+            lambda e: extract_clipmap_windows(mosaic, e, spec, force_xla=True)
         )(eyes)
 
     e_norm = jnp.linalg.norm(eyes, axis=-1)

@@ -426,9 +426,13 @@ class RenderEngine:
                 self.mosaic, eyes, suns, spec,
                 view_mode=jnp.int32(view_mode), fog=fog,
             )
+        # Non-clipmap specs vmap the whole render; the banded Pallas crossing
+        # kernel may not batch under vmap on TPU, so force the XLA reduction
+        # crossing path for this fallback (bit-identical output).
+        vspec = dataclasses.replace(spec, use_pallas=False)
         fn = jax.vmap(
             lambda e, s: render_panorama(
-                self.mosaic, e, spec, s, view_mode=view_mode, fog=fog
+                self.mosaic, e, vspec, s, view_mode=view_mode, fog=fog
             )["color"]
         )
         return fn(eyes, suns)
