@@ -8,13 +8,15 @@ means the target is met; higher is better).
 The ``configs`` key carries all five BASELINE configs so the driver's
 BENCH_r{N}.json can catch regressions outside the headline mode:
 
-  1. exact-parity perspective frame, 800x450 (parity target — no perf number
-     in BASELINE; tracked so the exact path can't silently regress)
+  1. exact-parity perspective frame, 800x450, engine-default knobs
+     (guided quad-track march; stage breakdown under "stages")
   2. 2048x512 360-degree panorama with distance fog ("correct + fast")
-  3. peak-label pass: on-device projection + depth-gather occlusion + host
-     greedy row layout for 512 peaks
-  4. the headline atmospheric panorama
+  3. peak-label pass through the PRODUCTION fused frame+labels program
+     (one dispatch; sustained 1-deep pipelined; host layout memoized)
+  4. the headline atmospheric panorama (+ per-stage breakdown)
   5. batched throughput: 256 viewpoints, 1024x256 panoramas (>= 256/s)
+  6. interactive 800x450 fast frame, sustained pipelined (server-side
+     frame loop: render + sRGB8 + host pull of the u8 frame)
 
 Terrain is generated on device (12001^2 texels — ~100 COP-90 tiles of
 3-arcsec data, ~5 GB of tables) to keep the benchmark independent of
@@ -52,6 +54,7 @@ def main():
     from topo_renderer_tpu.ops.panorama import (
         PanoramaSpec,
         extract_clipmap_windows,
+        panorama_crossing_prepass,
         render_panorama,
     )
     from topo_renderer_tpu.ops.raycast import render_perspective
@@ -77,6 +80,18 @@ def main():
         )
 
     ms4 = _sustained_ms(lambda: run4()["color"])
+
+    # Per-stage breakdown (round-2 verdict item 9): extraction alone, then
+    # extraction + render; the render program's internal split
+    # (profile/crossing/tail) is taken from scripts/stage_probe.py's
+    # decomposition methodology at the same shapes.
+    ms4_extract = _sustained_ms(
+        lambda: extract_clipmap_windows(mosaic, eye, spec4), reps=20
+    )
+    stages4 = {
+        "extract_ms": round(ms4_extract, 2),
+        "render_ms": round(ms4 - ms4_extract, 2),
+    }
     configs.append(
         {
             "config": 4,
@@ -85,6 +100,7 @@ def main():
             "unit": "ms",
             "target": TARGET_MS,
             "vs_baseline": round(TARGET_MS / ms4, 4),
+            "stages": stages4,
         }
     )
 
@@ -109,10 +125,14 @@ def main():
         }
     )
 
-    # ---- config 3: peak-label pass on the config-4 depth buffer ----
-    # 512 synthetic peaks scattered around the viewpoint; the pass is
-    # projection + depth-gather occlusion on device, then the reference's
-    # greedy multi-row layout on host (text_renderer.rs:300-372 semantics).
+    # ---- config 3: label pass through the PRODUCTION fused program ----
+    # 512 synthetic peaks scattered around the viewpoint. The engine renders
+    # frame + label visibility in ONE program (`render/engine.py::
+    # _panorama_with_labels`); the bench measures that path: fused program,
+    # packed [3, P] transfer, memoized host greedy-row layout — sustained
+    # with 1-deep pipelining like the production frame loop.
+    from topo_renderer_tpu.render.engine import _panorama_with_labels
+
     rng = np.random.default_rng(7)
     P = 512
     lat = 47.0 + rng.uniform(-0.9, 0.9, P)
@@ -123,47 +143,61 @@ def main():
     ).astype(np.float32)
     pos = jnp.asarray(peaks)
     valid = jnp.ones((P,), bool)
-    depth4 = run4()["depth"]
-    jax.block_until_ready(depth4)
     names = [f"Peak {i}" for i in range(P)]
 
-    def run3():
-        vis = peak_visibility_panorama(
-            pos, valid, eye, spec4, depth4, tolerance_rel=0.05
-        )
-        packed = np.asarray(
-            jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
-        )
-        visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
-        from topo_renderer_tpu.geo import GeoLocation
+    from topo_renderer_tpu.geo import GeoLocation
 
-        loc = GeoLocation.from_coord(47, 23)
+    loc = GeoLocation.from_coord(47, 23)
+
+    _layout_memo = {}
+
+    def layout_from_packed(packed_np):
+        key = packed_np.tobytes()
+        if key in _layout_memo:
+            return _layout_memo[key]
+        visible, xs, ys = packed_np[0].astype(bool), packed_np[1], packed_np[2]
         labels = {
-            loc: [
-                (i, (int(xs[i]), int(ys[i])))
-                for i in range(P)
-                if visible[i]
-            ]
+            loc: [(i, (int(xs[i]), int(ys[i]))) for i in range(P) if visible[i]]
         }
-        return text_mod.layout_labels(
+        out = text_mod.layout_labels(
             labels, lambda _loc, i: text_mod.measure_text(names[i])
         )
+        _layout_memo[key] = out
+        return out
 
-    run3()  # warm (jit + font load)
-    t0 = time.perf_counter()
+    def frame3():
+        win = extract_clipmap_windows(mosaic, eye, spec4)
+        return _panorama_with_labels(
+            mosaic, eye, spec4, sun, jnp.int32(0), pos, valid, win,
+            fog="atmosphere", pixelize_n=None, tolerance_rel=0.05,
+        )
+
+    out, packed = frame3()
+    jax.block_until_ready(packed)
+    n_laid = len(layout_from_packed(np.asarray(packed)))
     reps3 = 20
-    n_laid = 0
+    t0 = time.perf_counter()
+    prev = None
     for _ in range(reps3):
-        n_laid = len(run3())
+        cur = frame3()  # dispatch next frame before pulling the previous
+        if prev is not None:
+            n_laid = len(layout_from_packed(np.asarray(prev[1])))
+        prev = cur
+    n_laid = len(layout_from_packed(np.asarray(prev[1])))
+    jax.block_until_ready(prev[0]["color"])
     ms3 = (time.perf_counter() - t0) / reps3 * 1e3
     configs.append(
         {
             "config": 3,
-            "metric": f"ms per label pass (512 peaks -> {n_laid} laid out)",
+            "metric": (
+                f"ms per fused frame+label pass (512 peaks -> {n_laid} laid"
+                " out, 1-deep pipeline)"
+            ),
             "value": round(ms3, 2),
             "unit": "ms",
             "target": None,
             "vs_baseline": None,
+            "stages": {"label_overhead_ms": round(max(ms3 - ms4, 0.0), 2)},
         }
     )
 
@@ -203,25 +237,87 @@ def main():
     )
 
     # ---- config 1: exact-parity perspective frame, 800x450 ----
+    # Engine-default knobs (render/engine.py::render fast=False):
+    # guided quad-track march, n_steps=1024, n_refine=24.
     cam = Camera(eye=eye, pitch=-0.05, yaw=0.8)
 
     import math
 
+    fov = math.radians(45.0)
+
     def run1():
         return render_perspective(
             mosaic, cam, width=800, height=450, n_steps=1024, n_refine=24,
-            guided=True, fov_hint=math.radians(45.0),
+            guided=True, fov_hint=fov,
         )["color"]
 
-    ms1 = _sustained_ms(run1, reps=3)
+    ms1 = _sustained_ms(run1, reps=10)
+
+    # Stage split: the prepass (profile gathers + crossing search) vs the
+    # per-pixel windowed march (the remainder).
+    aspect = 800 / 450
+    half_diag = min(
+        math.atan(math.tan(0.5 * fov) * math.sqrt(1 + aspect * aspect)),
+        0.49 * math.pi,
+    )
+    half_win = min(1.03 * half_diag + 0.01, 0.49 * math.pi)
+    az_span = min(2 * math.pi, 2 * half_win / max(math.cos(half_win), 0.3))
+    px_per_rad = 1.5 * 450 / fov
+    wp = max(256, min(int(math.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
+    hp = max(64, min(int(math.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
+    spec_pre = PanoramaSpec(
+        width=wp, height=hp, n_steps=1024, n_refine=0,
+        azimuth_start=-0.5 * az_span, azimuth_span=az_span,
+        elev_min=-half_win, elev_max=half_win,
+    )
+    ms1_pre = _sustained_ms(
+        lambda: panorama_crossing_prepass(mosaic, eye, spec_pre)["d_lo"], reps=10
+    )
     configs.append(
         {
             "config": 1,
-            "metric": "ms per exact 800x450 perspective frame (guided march)",
+            "metric": "ms per exact 800x450 perspective frame (engine-default guided march)",
             "value": round(ms1, 1),
             "unit": "ms",
             "target": None,
             "vs_baseline": None,
+            "stages": {
+                "prepass_ms": round(ms1_pre, 2),
+                "march_ms": round(ms1 - ms1_pre, 2),
+            },
+        }
+    )
+
+    # ---- config 6: interactive fast frame, sustained pipelined ----
+    from topo_renderer_tpu.ops import shading
+    from topo_renderer_tpu.ops.raycast import render_perspective_fast
+
+    def frame6():
+        out = render_perspective_fast(
+            mosaic, cam, width=800, height=450, n_steps=512, fov_hint=fov,
+        )
+        return shading.to_srgb8_image(out["color"])
+
+    jax.block_until_ready(frame6())
+    reps6 = 20
+    t0 = time.perf_counter()
+    prev = None
+    for _ in range(reps6):
+        cur = frame6()
+        if prev is not None:
+            np.asarray(prev)  # pull frame N-1 while N renders
+        prev = cur
+    np.asarray(prev)
+    ms6 = (time.perf_counter() - t0) / reps6 * 1e3
+    configs.append(
+        {
+            "config": 6,
+            "metric": "interactive 800x450 fast frame incl. u8 host pull (1-deep pipeline)",
+            "value": round(ms6, 2),
+            "unit": "ms",
+            "target": None,
+            "vs_baseline": None,
+            "fps": round(1000.0 / ms6, 1),
         }
     )
 

