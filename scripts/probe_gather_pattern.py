@@ -41,9 +41,12 @@ def main():
             jit_ = (jnp.abs(acc) % 3.0).astype(jnp.int32)  # chain dependency
             idx = (base + k * step + jit_) % n_rows
             if mix:
-                # cheap bijective-ish mixer: spread neighbors across the table
-                idx = (idx * jnp.int32(2654435761)) & jnp.int32(0x7FFFFFFF)
-                idx = idx % n_rows
+                # group permutation: scatter 128-row groups across the table
+                # (what a permuted cell-table layout would do); bijective on
+                # the group domain when gcd(1021, n_groups) == 1.
+                n_groups = n_rows // 128
+                g = idx >> 7
+                idx = (((g * jnp.int32(1021)) % jnp.int32(n_groups)) << 7) | (idx & 127)
             rows = tbl[idx]
             return acc + rows[..., 0] + rows[..., 3]
 
@@ -75,7 +78,12 @@ def main():
     base_str = (py * 12001 + px * 64) % (n_rows // 2)
     bench("d) 64-row lane stride", base_str, jnp.int32(12001))
 
-    bench("e) coherent + bit-mix (permuted-table sim)", base_coh, jnp.int32(12001), mix=True)
+    bench("e) coherent + group-perm (permuted-table sim)", base_coh, jnp.int32(12001), mix=True)
+
+    # f) sparser march-like set: pixels share cells (warp-dup), region ~100k
+    base_dup2 = (py * 12001 + px // 4 + 3000) + 6000 * 12001
+    bench("f) dense+duplicated (near-field march)", base_dup2, jnp.int32(12001))
+    bench("f2) same + group-perm", base_dup2, jnp.int32(12001), mix=True)
     print("done", flush=True)
 
 

@@ -43,7 +43,11 @@ class Application:
     def __init__(self, settings: Settings | None = None, camera_speed: float = DEFAULT_CAMERA_SPEED):
         self.settings = settings or Settings.load()
         self.data = ApplicationData()
-        self.engine = RenderEngine()
+        # Streaming: tile add/unload during flight touches one slot
+        # (O(tile) donated update) instead of rebuilding the mosaic — the
+        # reference's per-tile `add_terrain`/`unload_terrain` behavior
+        # (`terrain_renderer.rs:173-350,361-363`).
+        self.engine = RenderEngine(streaming=True)
         self.camera_controller = CameraController(camera_speed)
         self.ui_controller = UiController(self._request_tile)
         self._events: "queue.Queue" = queue.Queue()

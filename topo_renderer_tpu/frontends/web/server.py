@@ -281,18 +281,28 @@ class WebFrontend:
         state = _camera_state(cam)
         if not changed and not body.get("force"):
             return None, state, False
+        # Pipelined frame loop (round-2 verdict item 4): only the DEVICE
+        # render dispatch happens under the render lock; the u8 pull,
+        # label compositing and JPEG encode run outside it, overlapping the
+        # next request's render. If another frame holds the lock, drop this
+        # frame (HTTP 204; input was applied, so motion accumulates into
+        # the next delivered frame) instead of queueing render latency.
+        acquired = self._render_lock.acquire(timeout=0.0 if body.get("drop", True) else 30.0)
+        if not acquired:
+            return None, state, False
         try:
-            with self._render_lock:
-                self.app.pump_events()
-                with self._lock:
-                    self._status["loaded"] = len(self.app.engine.loaded_locations)
-                if not self.app.engine.loaded_locations:
-                    raise RuntimeError("no terrain loaded yet")
-                res = self.app.engine.render(
-                    cam, width, height, fast=True,
-                    with_labels=bool(body.get("labels", True)),
-                    host_copy=False,  # only the u8 frame crosses the link
-                )
+            self.app.pump_events()
+            with self._lock:
+                self._status["loaded"] = len(self.app.engine.loaded_locations)
+            if not self.app.engine.loaded_locations:
+                raise RuntimeError("no terrain loaded yet")
+            res = self.app.engine.render(
+                cam, width, height, fast=True,
+                with_labels=bool(body.get("labels", True)),
+                host_copy=False,  # f32 planes stay on device
+                u8_host=False,    # the u8 pull overlaps the next render
+            )
+            names = self.app.engine.label_names(res.visible_labels)
         except Exception:
             # No frame was delivered: roll the camera back so the consumed
             # input can't silently teleport the view when rendering recovers
@@ -301,7 +311,14 @@ class WebFrontend:
                 sess.camera = prev_camera
                 sess.last_frame_t = prev_frame_t
             raise
-        return encode_jpeg(res.color), state, True
+        finally:
+            self._render_lock.release()
+        frame = np.asarray(res.color)  # device -> host, outside the lock
+        if res.layouts:
+            from topo_renderer_tpu.render.overlay import composite_labels
+
+            frame = composite_labels(frame, res.layouts, names)
+        return encode_jpeg(frame), state, True
 
     # ---- location streaming ------------------------------------------------
 

@@ -784,10 +784,10 @@ def render_batch_scan(mosaic, eyes, suns, spec: PanoramaSpec, view_mode=0,
     return colors
 
 
-@partial(jax.jit, static_argnames=("spec", "seg", "conservative"))
+@partial(jax.jit, static_argnames=("spec", "seg", "conservative", "col_shuffle"))
 def panorama_crossing_prepass(
     mosaic, eye, spec: PanoramaSpec, azimuth_offset=0.0, elev_offset=0.0,
-    *, seg: int = 64, conservative: bool = True,
+    *, seg: int = 64, conservative: bool = True, col_shuffle: bool = True,
 ):
     """Exact-profile crossing distances only — the guided perspective
     march's prepass (`ops/raycast.py::march_guided_panorama`).
@@ -833,8 +833,20 @@ def panorama_crossing_prepass(
     a0, up, (ex, ey), (nx0, ny0, nz0), _ = _eye_frame(eye)
     ux, uy, uz = up
 
+    # Lane decorrelation: process columns in an 8-way interleave so adjacent
+    # VREG lanes trace azimuths ~W/8 columns apart (neighboring columns
+    # gather neighboring cells — the slow pattern; see
+    # `ops/raycast._lane_shuffle`). The azimuths are generated directly in
+    # shuffled order (free) and the output planes un-shuffled by one
+    # reshape-transpose relayout.
+    col_shuffle = col_shuffle and (W % 8 == 0)
+    if col_shuffle:
+        kk = jnp.arange(W, dtype=jnp.int32)
+        col = ((kk % 8) * (W // 8) + kk // 8).astype(jnp.float32)
+    else:
+        col = jnp.arange(W, dtype=jnp.float32)
     phi = spec.azimuth_start + jnp.float32(azimuth_offset) + spec.azimuth_span * (
-        (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+        (col + 0.5) / W
     )
     cphi, sphi = jnp.cos(phi), jnp.sin(phi)
     hx = nx0 * cphi + ex * sphi
@@ -970,6 +982,11 @@ def panorama_crossing_prepass(
 
     d_lo = jnp.where(hit, ray_dist(sig_lo), FAR)
     d_hi = jnp.where(hit, jnp.maximum(ray_dist(sig_hi), d_lo), FAR)
+    if col_shuffle:
+        def ush(a):
+            return a.reshape(H, W // 8, 8).transpose(0, 2, 1).reshape(H, W)
+
+        d_lo, d_hi, hit = ush(d_lo), ush(d_hi), ush(hit)
     return {"d_lo": d_lo, "d_hi": d_hi, "hit": hit}
 
 

@@ -577,15 +577,59 @@ def _cell_walk_refine(mosaic, eye, dirs, t_lo, t_hi, active, *,
     return jnp.where(active, t_star, t_hi)
 
 
+def _lane_shuffle(planes, fy: int = 8, fx: int = 8):
+    """Interleave rows/columns so adjacent VREG sublanes/lanes process
+    pixels ~H/fy rows and ~W/fx columns apart.
+
+    Measured (scripts/probe_gather_pattern.py, v5e): gathers whose adjacent
+    lanes touch adjacent table rows run at ~75 M/s; the same gathers with
+    lanes >= ~1 KB apart run at ~138 M/s. Neighboring pixels march through
+    neighboring terrain cells, so the natural image layout is the slow
+    pattern; this shuffle decorrelates lane addresses. Both directions are
+    reshape+transpose relayouts XLA executes as tiled copies (bandwidth,
+    not gathers) — and every march/shade op between shuffle and unshuffle
+    is elementwise, so results are bit-identical.
+
+    Returns (shuffled_planes, meta) — invert with `_lane_unshuffle`.
+    """
+    H, W = planes[0].shape
+    Hp = -(-H // fy) * fy
+    Wp = -(-W // fx) * fx
+    gy, gx = Hp // fy, Wp // fx
+
+    def sh(a):
+        if Hp != H:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], Hp - H, 0)], 0)
+        if Wp != W:
+            a = jnp.concatenate([a, jnp.repeat(a[:, -1:], Wp - W, 1)], 1)
+        a = a.reshape(fy, gy, Wp).transpose(1, 0, 2).reshape(Hp, Wp)
+        a = a.reshape(Hp, fx, gx).transpose(0, 2, 1).reshape(Hp, Wp)
+        return a
+
+    return [sh(p) for p in planes], (H, W, Hp, Wp, fy, fx)
+
+
+def _lane_unshuffle(planes, meta):
+    H, W, Hp, Wp, fy, fx = meta
+    gy, gx = Hp // fy, Wp // fx
+
+    def ush(a):
+        a = a.reshape(Hp, gx, fx).transpose(0, 2, 1).reshape(Hp, Wp)
+        a = a.reshape(gy, fy, Wp).transpose(1, 0, 2).reshape(Hp, Wp)
+        return a[:H, :W]
+
+    return [ush(p) for p in planes]
+
+
 def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
                        n_window: int, n_cells: int, margin_rel: float,
-                       margin_abs: float):
+                       margin_abs: float, lane_shuffle: bool = False):
     """Bracketed exact march with a QUADRATIC raster-track fit.
 
-    The stage probe showed the per-step cost of `_window_march` is dominated
-    by transcendentals (arcsin/arctan2/degrees in `_surface_f`), not table
-    gathers (~142 M rows/s regardless of table size). This variant evaluates
-    the exact track at only THREE parameters (bracket ends + midpoint) and
+    The stage probe showed the per-step cost of `_window_march` splits
+    between the gathers and the per-step transcendentals
+    (arcsin/arctan2/degrees in `_surface_f`). This variant evaluates the
+    exact track at only THREE parameters (bracket ends + midpoint) and
     fits ``gx, gy, alt`` as quadratics in u — exact to ~1e-4 texels over a
     10 km window (the cubic remainder scales with 1/R0^2), which is BELOW
     the f32 lat->degrees quantization noise of the exact evaluation itself
@@ -594,7 +638,24 @@ def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
     ONE 16 B cell-row gather + a triangle interpolation. The found step
     bracket is refined by the analytic cell walk (`_cell_walk_core`) on the
     same fitted track — no further transcendentals anywhere.
+
+    ``lane_shuffle`` routes the whole march through the lane-decorrelating
+    pixel interleave (`_lane_shuffle`). Measured NEUTRAL on v5e for this
+    march (the gather bottleneck tracks the total address-set density, not
+    per-VREG lane adjacency — scripts/probe_quad3.py), so it defaults off;
+    kept because it is bit-identical and other backends may differ.
     """
+    if lane_shuffle:
+        (dx_s, dy_s, dz_s, tmin_s, tmax_s, hit_s), meta = _lane_shuffle(
+            [dirs[0], dirs[1], dirs[2], t_min, t_max, any_hit]
+        )
+        found, t_star = _window_march_quad(
+            mosaic, eye, (dx_s, dy_s, dz_s), tmin_s, tmax_s, hit_s,
+            n_window=n_window, n_cells=n_cells,
+            margin_rel=margin_rel, margin_abs=margin_abs, lane_shuffle=False,
+        )
+        found, t_star = _lane_unshuffle([found, t_star], meta)
+        return found, t_star
     dx, dy, dz = dirs
     e_norm = jnp.linalg.norm(eye)
     a0 = e_norm - R0

@@ -521,6 +521,7 @@ class RenderEngine:
         fast: bool = False,
         guided: bool = True,
         host_copy: bool = True,
+        u8_host: bool = True,
     ) -> RenderResult:
         """Full frame: terrain + postprocess + label pass (reference render
         loop §3.3/§3.4 of SURVEY).
@@ -532,6 +533,12 @@ class RenderEngine:
         (`ops/raycast.py::march_guided`, ~8x fewer surface samples);
         differences vs the unguided march are confined to sub-prepass-cell
         silhouette features. Pass ``guided=False`` for strict parity work.
+
+        ``u8_host=False`` leaves ``color`` as a DEVICE u8 array and skips
+        compositing (which needs host pixels): the caller pulls + composites
+        while the device renders the NEXT frame — the interactive loop's
+        double buffering (the pull is the frame's largest fixed cost on a
+        tunneled TPU).
         """
         mosaic = self.mosaic
         fov_hint = self._fov_bucket_rad(camera)
@@ -585,14 +592,17 @@ class RenderEngine:
                 visible_labels, layouts = self._label_pass(entries, vis)
 
         cp = np.asarray if host_copy else (lambda a: a)
-        color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
-        if composite and layouts:
-            names = {
-                (loc, i): self._peaks[loc][i].name
-                for loc in visible_labels
-                for i, _ in visible_labels[loc]
-            }
-            color_u8 = composite_labels(color_u8, layouts, names)
+        if u8_host:
+            color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
+            if composite and layouts:
+                names = {
+                    (loc, i): self._peaks[loc][i].name
+                    for loc in visible_labels
+                    for i, _ in visible_labels[loc]
+                }
+                color_u8 = composite_labels(color_u8, layouts, names)
+        else:
+            color_u8 = shading.to_srgb8_image(out["color"])  # device array
 
         return RenderResult(
             color=color_u8,
@@ -603,6 +613,15 @@ class RenderEngine:
             visible_labels=visible_labels,
             layouts=layouts,
         )
+
+    def label_names(self, visible_labels) -> dict:
+        """Names map for `composite_labels` (callers compositing outside the
+        render lock grab names while state is still consistent)."""
+        return {
+            (loc, i): self._peaks[loc][i].name
+            for loc in visible_labels
+            for i, _ in visible_labels[loc]
+        }
 
     def render_panorama(
         self,
