@@ -180,6 +180,7 @@ def main():
     prev = None
     for _ in range(reps3):
         cur = frame3()  # dispatch next frame before pulling the previous
+        cur[1].copy_to_host_async()  # overlap the packed pull with render
         if prev is not None:
             n_laid = len(layout_from_packed(np.asarray(prev[1])))
         prev = cur
@@ -262,7 +263,7 @@ def main():
     )
     half_win = min(1.03 * half_diag + 0.01, 0.49 * math.pi)
     az_span = min(2 * math.pi, 2 * half_win / max(math.cos(half_win), 0.3))
-    px_per_rad = 1.5 * 450 / fov
+    px_per_rad = 1.25 * 450 / fov  # march_guided_panorama's default supersample
     wp = max(256, min(int(math.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
     hp = max(64, min(int(math.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
     spec_pre = PanoramaSpec(
@@ -304,6 +305,7 @@ def main():
     prev = None
     for _ in range(reps6):
         cur = frame6()
+        cur.copy_to_host_async()  # start the u8 transfer behind the render
         if prev is not None:
             np.asarray(prev)  # pull frame N-1 while N renders
         prev = cur

@@ -112,12 +112,13 @@ def test_shard_mosaic_memory_split(scene):
         assert sh.data.size == total // 8
 
 
-def test_window_taller_than_shard_raises(scene):
+def test_window_spanning_multiple_shard_bands(scene):
+    """Windows TALLER than one shard band assemble bit-identically from
+    every band they span (round-2 verdict: this used to raise, so adding
+    devices could make a working spec fail)."""
     mosaic, eye = scene
     mesh = _mesh()
     smosaic = shard_mosaic(mosaic, mesh, size_threshold=500_000)
-    # Find a step count whose window rows exceed one band but still fit the
-    # table (larger n_steps shrinks dlog and inflates the window).
     from topo_renderer_tpu.ops.panorama import _clipmap_window_plan
 
     h_loc = smosaic.shape[0] // 8
@@ -130,6 +131,76 @@ def test_window_taller_than_shard_raises(scene):
         if any(u and wsy > h_loc for (_, u, wsy, _, _) in plan):
             wide = cand
             break
-    assert wide is not None, "no spec exercises the oversized-window guard"
-    with pytest.raises(ValueError, match="exceed one shard"):
-        extract_clipmap_windows_sharded(smosaic, eye, wide, mesh)
+    assert wide is not None, "no spec exercises multi-band windows"
+    win_r = extract_clipmap_windows(mosaic, eye, wide, force_xla=True)
+    win_s = extract_clipmap_windows_sharded(smosaic, eye, wide, mesh)
+    checked = 0
+    for lv, (ent_r, ent_s) in enumerate(zip(win_r, win_s)):
+        if ent_r[1] is None and ent_s[1] is None:
+            continue
+        # The sharded mosaic's padded tables can window more levels; compare
+        # the levels both extracted.
+        if ent_r[1] is not None and ent_s[1] is not None:
+            np.testing.assert_array_equal(
+                np.asarray(ent_r[1]).view(np.uint32),
+                np.asarray(ent_s[1]).view(np.uint32),
+            )
+            checked += 1
+    assert checked >= 1
+
+
+def test_sharded_exact_render_bit_matches_replicated(scene):
+    """The triangle-exact parity march against ROW-SHARDED tables
+    (cell table included) matches the replicated exact render bit for bit
+    (round-2 verdict item 8: exactness used to require replication)."""
+    import math
+
+    from topo_renderer_tpu.models.camera import Camera
+    from topo_renderer_tpu.ops.raycast import render_perspective
+    from topo_renderer_tpu.parallel.sharded_mosaic import (
+        render_perspective_sharded,
+    )
+
+    mosaic, eye = scene
+    mesh = _mesh()
+    smosaic = shard_mosaic(
+        mosaic, mesh, size_threshold=500_000, keep_cell_table=True
+    )
+    cam = Camera(eye=eye, pitch=0.35, yaw=0.8)
+    kw = dict(width=96, height=64, n_steps=256, n_refine=12,
+              guided=True, fov_hint=math.radians(45.0))
+    ref = render_perspective(mosaic, cam, **kw)
+    got = render_perspective_sharded(smosaic, cam, mesh, **kw)
+    # The sharded mosaic pads rows with poison south of the scene; rays
+    # there can only miss, so images agree exactly.
+    np.testing.assert_array_equal(np.asarray(ref["hit"]), np.asarray(got["hit"]))
+    np.testing.assert_array_equal(
+        np.asarray(ref["color"]), np.asarray(got["color"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["depth"]), np.asarray(got["depth"])
+    )
+
+
+def test_sharded_batch_scan_matches_replicated(scene):
+    """Capacity + throughput composed: the config-5 batch scan runs against
+    the row-sharded tables and matches per-eye replicated renders."""
+    from topo_renderer_tpu.parallel.sharded_mosaic import (
+        render_batch_scan_sharded,
+    )
+
+    mosaic, eye = scene
+    mesh = _mesh()
+    smosaic = shard_mosaic(mosaic, mesh, size_threshold=500_000)
+    spec = _spec()
+    eyes = jnp.stack([eye, eye * (1.0 + 1e-5)])
+    suns = jnp.broadcast_to(jnp.array([0.3, 0.5, 0.8], jnp.float32), (2, 3))
+    got = render_batch_scan_sharded(smosaic, eyes, suns, spec, mesh, fog="atmosphere")
+    for i in range(2):
+        win = extract_clipmap_windows(mosaic, eyes[i], spec, force_xla=True)
+        ref = render_panorama(
+            mosaic, eyes[i], spec, suns[i], fog="atmosphere", windows=win
+        )["color"]
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(ref), atol=2e-6
+        )

@@ -179,19 +179,26 @@ def apply_slot_update(
         c_h, c_w = th + 2, tw + 2
         cy0 = jnp.clip(oy - 1, 0, h_m - c_h)
         cx0 = jnp.clip(ox - 1, 0, w_m - c_w)
-        # Heights over the cell window +1 east/south, clamped at the table
-        # edge exactly like the full build's edge-clamped shifts.
+        # Heights AND packed normals over the cell window +1 east/south,
+        # clamped at the table edge exactly like the full build's
+        # edge-clamped shifts (normals read back from the just-updated attr
+        # table so the cell rows stay bit-identical to a fresh build).
         gy = jnp.minimum(cy0 + jnp.arange(c_h + 1, dtype=jnp.int32), h_m - 1)
         gx = jnp.minimum(cx0 + jnp.arange(c_w + 1, dtype=jnp.int32), w_m - 1)
         hc = heights2d[gy[:, None], gx[None, :]]
+        pc = attr2[gy[:, None], gx[None, :], 1]
         cell_blk = jnp.stack(
-            [hc[:-1, :-1], hc[:-1, 1:], hc[1:, :-1], hc[1:, 1:]], axis=-1
+            [
+                hc[:-1, :-1], hc[:-1, 1:], hc[1:, :-1], hc[1:, 1:],
+                pc[:-1, :-1], pc[:-1, 1:], pc[1:, :-1], pc[1:, 1:],
+            ],
+            axis=-1,
         )
-        cell3 = mosaic.cell_heights_flat.reshape(h_m, w_m, 4)
+        cell3 = mosaic.cell_heights_flat.reshape(h_m, w_m, 8)
         cell3 = jax.lax.dynamic_update_slice(
             cell3, cell_blk, (cy0, cx0, jnp.int32(0))
         )
-        cell_out = cell3.reshape(-1, 4)
+        cell_out = cell3.reshape(-1, 8)
     else:
         cell_out = mosaic.cell_heights_flat
 

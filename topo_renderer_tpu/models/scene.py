@@ -111,9 +111,10 @@ class TerrainMosaic:
 
     heights_flat: Any  # f32[Hm*Wm], POISON_HEIGHT outside valid tiles
     attr_packed_flat: Any  # f32[Hm*Wm, 2]: (height, bitcast(normal)) rows
-    cell_heights_flat: Any  # f32[Hm*Wm, 4]: per-cell corner rows
-    # (NW, NE, SW, SE) — one row gather feeds the exact triangle march
-    # (5x faster than 4 scalar gathers); dummy [1, 4] when disabled
+    cell_heights_flat: Any  # f32[Hm*Wm, 8]: per-cell corner rows — heights
+    # (NW, NE, SW, SE) then the corners' bitcast packed world normals. One
+    # 32 B row gather feeds the exact triangle march AND the hit shading
+    # (gather cost is per-row, not per-byte); dummy [1, 8] when disabled
     has_cell_table: bool  # static: whether cell_heights_flat is real
     shape: tuple  # (Hm, Wm) — static
     mip_heights_flat: tuple  # per-level flat f32 height pyramids (level 1..)
@@ -143,6 +144,11 @@ class TerrainMosaic:
     # across a device mesh axis (`parallel/sharded_mosaic.py`); empty for
     # replicated mosaics. Extraction picks the shard_map path per level.
     sharded_rows: tuple = ()
+    # Static: set ONLY on the shard-local view constructed INSIDE a
+    # shard_map over the geo axis (`render_perspective_sharded`):
+    # `surface.cell_rows` then assembles each gather by masked local fetch
+    # + psum so the exact march runs against row-sharded cell tables.
+    cell_sharded: bool = False
     # Static base texel size in meters (rounded to 3 significant digits so
     # small per-scene variation does not fragment the jit cache). The LOD
     # step schedule (`ops/panorama.py::_lod_segments`) and the clipmap window
@@ -219,7 +225,7 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=[
         "shape", "mip_shapes", "host", "has_cell_table", "sharded_rows",
-        "texel_m",
+        "cell_sharded", "texel_m",
     ],
 )
 
@@ -443,15 +449,21 @@ def _device_mosaic_tables(
         # Edge-clamped shifts (NOT roll): the last row/column's cell rows are
         # never sampled (cell indices clamp to size-2), and clamped values —
         # unlike wrapped ones — are reproducible by incremental slot updates.
-        e = jnp.concatenate([heights_p[:, 1:], heights_p[:, -1:]], axis=1)
-        s_ = jnp.concatenate([heights_p[1:], heights_p[-1:]], axis=0)
-        se = jnp.concatenate([s_[:, 1:], s_[:, -1:]], axis=1)
-        cell = jnp.stack(
-            [heights_p.reshape(-1), e.reshape(-1), s_.reshape(-1), se.reshape(-1)],
-            axis=-1,
-        )
+        # Rows carry the 4 corner heights AND the 4 corners' packed normals
+        # (bitcast): TPU gather cost is per-row, not per-byte, so the exact
+        # march reads its surface AND the shader reads its attributes from
+        # ONE 32 B row gather each (4 separate corner gathers before).
+        def shifts(x):
+            e = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+            s_ = jnp.concatenate([x[1:], x[-1:]], axis=0)
+            se = jnp.concatenate([s_[:, 1:], s_[:, -1:]], axis=1)
+            return x, e, s_, se
+
+        hq = shifts(heights_p)
+        pq = shifts(jax.lax.bitcast_convert_type(packed0, jnp.float32))
+        cell = jnp.stack([c.reshape(-1) for c in hq + pq], axis=-1)
     else:
-        cell = jnp.zeros((1, 4), jnp.float32)
+        cell = jnp.zeros((1, 8), jnp.float32)
 
     return dict(
         heights=heights_p.reshape(-1),
@@ -765,15 +777,19 @@ def build_mosaic(
         )
 
     if exact_tables:
-        # Edge-clamped shifts, matching the device path (the last row/col's
-        # rows are never sampled; clamped values are reproducible by
-        # incremental slot updates, wrapped ones are not).
-        e_h = np.concatenate([heights[:, 1:], heights[:, -1:]], axis=1)
-        s_h = np.concatenate([heights[1:], heights[-1:]], axis=0)
-        se_h = np.concatenate([s_h[:, 1:], s_h[:, -1:]], axis=1)
-        cell = np.stack([heights, e_h, s_h, se_h], axis=-1).reshape(-1, 4)
+        # Edge-clamped shifts, matching the device path (see its note; rows
+        # carry corner heights + corner packed normals).
+        def shifts_np(x):
+            e = np.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+            s_ = np.concatenate([x[1:], x[-1:]], axis=0)
+            se = np.concatenate([s_[:, 1:], s_[:, -1:]], axis=1)
+            return x, e, s_, se
+
+        hq = shifts_np(heights)
+        pq = shifts_np(normals_packed.view(np.float32))
+        cell = np.stack(hq + pq, axis=-1).reshape(-1, 8)
     else:
-        cell = np.zeros((1, 4), np.float32)
+        cell = np.zeros((1, 8), np.float32)
 
     _hmax_dil, _hmax_raw = build_max_mips(heights, mip_shapes, return_raw=True)
     return TerrainMosaic(

@@ -914,15 +914,26 @@ def panorama_crossing_prepass(
         x = (R0 + h) * sn
         parts.append(jnp.where(ok, y / x, NEG))
 
-        if conservative and n_levels:
-            # One bound level per fit segment (the max within the span keeps
-            # it conservative for every step in the segment).
-            lv = int(lvl_np[k0:k1].max())
-            hb = _sample_hmax(mosaic, min(lv, n_levels), gx, gy)
+        if conservative and n_levels and s_np[k1 - 1] >= 32.0 * texel:
+            # Bound profile at 1/4 the step rate: sample the dilated max
+            # pyramid two levels coarser (dilation 2^(lv+2) >= 4 steps'
+            # ground travel, so one sample bounds its whole 4-group), and
+            # evaluate the ratio at the group's FIRST sigma — the elevation
+            # ratio of a fixed height is monotone decreasing in sigma, so
+            # the repeated value upper-bounds every step in the group.
+            # Near segments (step spacing < ~1/3 texel) skip the bound: the
+            # exact profile samples every triangle piece there, and the
+            # coarse dilated bound would otherwise drag d_lo to ~0 for every
+            # ray passing near terrain, blowing the march brackets wide.
+            lv = min(int(lvl_np[k0:k1].max()) + 2, n_levels)
+            hb = _sample_hmax(mosaic, lv, gx[::4], gy[::4])
             okb = hb > 0.5 * INVALID_HEIGHT
-            yb = hb * cs - a0 - sh2
-            xb = (R0 + hb) * sn
-            parts_b.append(jnp.where(okb, yb / xb, NEG))
+            yb = hb * cs[::4] - a0 - sh2[::4]
+            xb = (R0 + hb) * sn[::4]
+            rb = jnp.where(okb, yb / xb, NEG)
+            parts_b.append(jnp.repeat(rb, 4, axis=0)[: k1 - k0])
+        elif conservative and n_levels:
+            parts_b.append(jnp.full((k1 - k0, W), NEG))
 
     e_prof = jnp.concatenate(parts, axis=0)  # [N, W] tan-space
     e_bound = jnp.concatenate(parts_b, axis=0) if parts_b else None
@@ -955,12 +966,20 @@ def panorama_crossing_prepass(
         return jnp.sum(le, axis=0).astype(jnp.float32)
 
     kstar = first_crossing(e_prof)
-    hit = kstar < jnp.float32(N)
+    hit_exact = kstar < jnp.float32(N)
     kstar = jnp.clip(kstar, 0.0, jnp.float32(N - 1))
     if e_bound is not None:
-        kstar_b = jnp.clip(first_crossing(e_bound), 0.0, jnp.float32(N - 1))
-        kstar_b = jnp.minimum(kstar_b, kstar)
+        kb = first_crossing(e_bound)
+        # The BOUND extends possibility: rays that skim above every exact
+        # profile SAMPLE but under the dilated max bound get a bracket
+        # [bound crossing, ray exit] instead of being declared sky — the
+        # windowed march then decides. This was the round-2 guided path's
+        # dominant miss mechanism on grazing ridgeline pixels. (The bound
+        # skips sub-texel-step near segments, so exact-only hits must stay.)
+        hit = hit_exact | (kb < jnp.float32(N))
+        kstar_b = jnp.minimum(jnp.clip(kb, 0.0, jnp.float32(N - 1)), kstar)
     else:
+        hit = hit_exact
         kstar_b = kstar
 
     sig_hi = sigma_of(kstar)
@@ -981,7 +1000,9 @@ def panorama_crossing_prepass(
         return jnp.sqrt(x * x + y * y)
 
     d_lo = jnp.where(hit, ray_dist(sig_lo), FAR)
-    d_hi = jnp.where(hit, jnp.maximum(ray_dist(sig_hi), d_lo), FAR)
+    # Upper bracket from the exact profile where it crossed; bound-only
+    # pixels march to the feasible interval's end (the caller clips FAR).
+    d_hi = jnp.where(hit_exact, jnp.maximum(ray_dist(sig_hi), d_lo), FAR)
     if col_shuffle:
         def ush(a):
             return a.reshape(H, W // 8, 8).transpose(0, 2, 1).reshape(H, W)

@@ -394,7 +394,9 @@ def _cell_h(mosaic, gx, gy):
     fx = gx - cx
     fy = gy - cy
     parity = (cx + cy) % 2
-    rows = mosaic.cell_heights_flat[cy * w_m + cx]
+    from topo_renderer_tpu.ops.surface import cell_rows as _crows
+
+    rows = _crows(mosaic, cy * w_m + cx)
     h = tri_interp(rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3], fx, fy, parity)
     return jnp.where(in_b, h, jnp.float32(INVALID_HEIGHT))
 
@@ -447,7 +449,9 @@ def _cell_walk_core(mosaic, ends, f_lo, f_hi, active, *, n_cells: int):
         cy = jnp.clip(jnp.floor(gyc).astype(jnp.int32), 0, h_m - 2)
         in_b = (gxc >= 0.0) & (gyc >= 0.0) & (gxc <= w_m - 1.0) & (gyc <= h_m - 1.0)
         parity = (cx + cy) % 2
-        rows = mosaic.cell_heights_flat[cy * w_m + cx]
+        from topo_renderer_tpu.ops.surface import cell_rows as _crows
+
+        rows = _crows(mosaic, cy * w_m + cx)
 
         # Cell exit: first u where the linear track leaves [cx, cx+1] x
         # [cy, cy+1] (exact for the linearized track).
@@ -704,18 +708,23 @@ def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
     hit0 = any_hit & (f0 <= 0.0)
 
     def body(k, state):
-        found, u_a, u_b, f_prev = state
+        found, u_a, u_b, f_prev, f_a, f_b = state
         u_k = du * k
         f_k = f_at(u_k)
         crossing = any_hit & (~found) & (f_prev > 0.0) & (f_k <= 0.0)
         u_a = jnp.where(crossing, u_k - du, u_a)
         u_b = jnp.where(crossing, u_k, u_b)
-        return found | crossing, u_a, u_b, f_k
+        # Carry the bracket's clearance values out of the loop: the walk
+        # needs f(u_a) > 0 >= f(u_b) and re-evaluating them would cost two
+        # more table gathers per pixel.
+        f_a = jnp.where(crossing, f_prev, f_a)
+        f_b = jnp.where(crossing, f_k, f_b)
+        return found | crossing, u_a, u_b, f_k, f_a, f_b
 
     zero = jnp.zeros_like(t_lo)
-    found, u_a, u_b, _ = jax.lax.fori_loop(
+    found, u_a, u_b, _, f_a, f_b = jax.lax.fori_loop(
         1, n_window + 1, body,
-        (hit0, zero, jnp.where(hit0, zero, jnp.ones_like(t_lo)), f0),
+        (hit0, zero, jnp.where(hit0, zero, jnp.ones_like(t_lo)), f0, f0, f0),
     )
 
     # Analytic cell walk inside [u_a, u_b] on the fitted track (linearized
@@ -726,8 +735,6 @@ def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
         at(qx, u_b), at(qy, u_b), at(qa, u_b),
     )
     active = found & (~hit0) & (u_b > u_a)
-    f_a = f_at(u_a)
-    f_b = f_at(u_b)
     v = _cell_walk_core(mosaic, ends, f_a, f_b, active, n_cells=n_cells)
     u_star = jnp.where(active, u_a + v * (u_b - u_a), jnp.where(hit0, 0.0, u_b))
     return found, t_lo + u_star * span
@@ -884,8 +891,8 @@ def march_guided_panorama(
     n_refine: int,
     fov_hint: float,
     aspect: float,
-    n_window: int = 16,
-    supersample: float = 1.5,
+    n_window: int = 8,
+    supersample: float = 1.25,
     analytic_refine: bool = True,
     n_cells: int = 4,
     n_pre_bisect: int = 2,
@@ -965,9 +972,15 @@ def march_guided_panorama(
 
     BIG = jnp.float32(3.0e38)
     d_lo = jnp.where(pre["hit"], pre["d_lo"], BIG)
-    d_hi = jnp.where(pre["hit"], pre["d_hi"], -BIG)
+    # Pool the bracket's far end over EXACT-profile hits only: bound-only
+    # texels carry d_hi = FAR, and one of them in a 3x3 neighborhood would
+    # blow every neighbor's bracket out to the far plane (a 63 km step
+    # march finds nothing). Neighborhoods with no exact end anywhere march
+    # to FAR — the correct conservative fallback for bound-only regions.
+    d_hi = jnp.where(pre["hit"] & (pre["d_hi"] < 0.98 * FAR), pre["d_hi"], -BIG)
     t_min_img = _pool3(d_lo, jnp.minimum)
     t_max_img = _pool3(d_hi, jnp.maximum)
+    t_max_img = jnp.where(t_max_img > 0.0, t_max_img, FAR)
 
     # Nearest prepass texel per pixel; one packed row gather fetches both
     # bracket ends (row gathers cost the same as scalar gathers here).
@@ -1227,7 +1240,17 @@ def render_perspective(
     lat = jnp.degrees(jnp.arcsin(jnp.clip(pos_z / r, -1.0, 1.0)))
     lon = jnp.degrees(jnp.arctan2(pos_y, pos_x))
     gx, gy = raster_from_geo(mosaic, lon, lat)
-    _, n_x, n_y, n_z, _ = sample_attributes_soa(mosaic, gx, gy)
+    if (
+        getattr(mosaic, "has_cell_table", False)
+        and mosaic.cell_heights_flat.shape[-1] == 8
+    ):
+        # One 32 B cell-row gather (corners' heights + packed normals)
+        # instead of four attr-row gathers; bit-identical interpolation.
+        from topo_renderer_tpu.ops.surface import sample_attributes_cell
+
+        _, n_x, n_y, n_z, _ = sample_attributes_cell(mosaic, gx, gy)
+    else:
+        _, n_x, n_y, n_z, _ = sample_attributes_soa(mosaic, gx, gy)
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5

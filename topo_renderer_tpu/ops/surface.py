@@ -29,11 +29,37 @@ Performance notes (these functions sit inside the innermost march loops):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from topo_renderer_tpu.models.scene import POISON_HEIGHT, unpack_normals
 
 INVALID_HEIGHT = POISON_HEIGHT
+
+
+def cell_rows(mosaic, idx):
+    """Fetch per-cell corner rows ``cell_heights_flat[idx]``.
+
+    On a row-sharded mosaic being evaluated INSIDE a `shard_map` over the
+    geo axis (``mosaic.cell_sharded`` — see
+    `parallel/sharded_mosaic.render_perspective_sharded`), each device
+    gathers its local row band and the single owner's contribution is
+    `psum`-assembled: every cell row lives on exactly one device, so the
+    masked sum IS the row. This is what lets the triangle-exact march run
+    against tables larger than one chip's HBM.
+    """
+    if getattr(mosaic, "cell_sharded", False):
+        from topo_renderer_tpu.parallel.sharded_mosaic import GEO_AXIS
+
+        local = mosaic.cell_heights_flat
+        n_loc = local.shape[0]
+        lo = jax.lax.axis_index(GEO_AXIS) * n_loc
+        k = idx - lo
+        ok = (k >= 0) & (k < n_loc)
+        rows = local[jnp.clip(k, 0, n_loc - 1)]
+        rows = jnp.where(ok[..., None], rows, 0.0)
+        return jax.lax.psum(rows, GEO_AXIS)
+    return mosaic.cell_heights_flat[idx]
 
 
 def raster_from_geo(mosaic, lon_deg, lat_deg):
@@ -89,7 +115,7 @@ def sample_height(mosaic, gx, gy):
     corner gathers in march loops."""
     idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
     if getattr(mosaic, "has_cell_table", False):
-        rows = mosaic.cell_heights_flat[idx]
+        rows = cell_rows(mosaic, idx)
         h = tri_interp(
             rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3], fx, fy, parity
         )
@@ -205,6 +231,35 @@ def sample_attributes_soa(mosaic, gx, gy):
         out.append(2.0 * (comp / scale) - 1.0)
     nx, ny, nz = out
 
+    ok = in_bounds & (h > 0.5 * INVALID_HEIGHT)
+    return jnp.where(ok, h, INVALID_HEIGHT), nx, ny, nz, ok
+
+
+def sample_attributes_cell(mosaic, gx, gy):
+    """Height + world-space normal planes from ONE 32 B cell-row gather.
+
+    The widened cell rows carry the 4 corner heights AND the 4 corners'
+    packed world normals, so the exact renderer's hit shading needs one
+    gather where `sample_attributes_soa` needs four (TPU gather cost is
+    per-row, not per-byte). Triangle-exact interpolation is identical.
+    """
+    import jax
+
+    idx, w, fx, fy, parity, in_bounds = _cell_setup(mosaic, gx, gy)
+    rows = cell_rows(mosaic, idx)
+    h = tri_interp(
+        rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3], fx, fy, parity
+    )
+    bits = [
+        jax.lax.bitcast_convert_type(rows[..., 4 + i], jnp.uint32)
+        for i in range(4)
+    ]
+    out = []
+    for shift in (0, 10, 20):
+        comps = [((b >> shift) & 0x3FF).astype(jnp.float32) for b in bits]
+        comp = tri_interp(comps[0], comps[1], comps[2], comps[3], fx, fy, parity)
+        out.append(2.0 * (comp / 1023.0) - 1.0)
+    nx, ny, nz = out
     ok = in_bounds & (h > 0.5 * INVALID_HEIGHT)
     return jnp.where(ok, h, INVALID_HEIGHT), nx, ny, nz, ok
 
