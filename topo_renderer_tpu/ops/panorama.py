@@ -784,10 +784,11 @@ def render_batch_scan(mosaic, eyes, suns, spec: PanoramaSpec, view_mode=0,
     return colors
 
 
-@partial(jax.jit, static_argnames=("spec", "seg", "conservative", "col_shuffle"))
+@partial(jax.jit, static_argnames=("spec", "seg", "conservative", "col_shuffle", "k_back"))
 def panorama_crossing_prepass(
     mosaic, eye, spec: PanoramaSpec, azimuth_offset=0.0, elev_offset=0.0,
     *, seg: int = 64, conservative: bool = True, col_shuffle: bool = True,
+    k_back: int = 1 << 20,
 ):
     """Exact-profile crossing distances only — the guided perspective
     march's prepass (`ops/raycast.py::march_guided_panorama`).
@@ -982,8 +983,18 @@ def panorama_crossing_prepass(
         hit = hit_exact
         kstar_b = kstar
 
+    # d_lo: the exact profile's bracket extended BACKWARD to the
+    # conservative bound's crossing (so the bracket provably contains the
+    # first crossing), optionally limited to ``k_back`` log steps. A/B on
+    # v5e measured the bracket width PERF-NEUTRAL for the windowed march
+    # (109.3 vs 109.5 ms full frame at k_back 0 vs unbounded), so the
+    # default keeps the fully conservative bracket; the knob remains for
+    # experiments.
+    k_lo = jnp.where(
+        hit_exact, jnp.maximum(kstar_b, kstar - jnp.float32(k_back)), kstar_b
+    )
     sig_hi = sigma_of(kstar)
-    sig_lo = jnp.where(kstar_b > 0, sigma_of(jnp.maximum(kstar_b - 1.0, 0.0)), 0.0)
+    sig_lo = jnp.where(k_lo > 0, sigma_of(jnp.maximum(k_lo - 1.0, 0.0)), 0.0)
 
     def ray_dist(sig):
         # Crossing point on the pixel ray at ground angle sig: analytic

@@ -543,88 +543,6 @@ def _track_raster(mosaic, eye, dirs, c0, b, t):
     return gx, gy, alt
 
 
-def _cell_walk_refine(mosaic, eye, dirs, t_lo, t_hi, active, *,
-                      n_cells: int, n_pre_bisect: int = 0):
-    """`_cell_walk_core` on a bracket of the TRUE ray track (endpoints
-    evaluated exactly; optional bisection rounds first shrink wide
-    brackets). Returns the refined crossing parameter t* (t_hi where
-    inactive)."""
-    dx, dy, dz = dirs
-    eye = jnp.asarray(eye, jnp.float32)
-    e_norm = jnp.linalg.norm(eye)
-    a0 = e_norm - R0
-    c0 = a0 * (e_norm + R0)
-    b = dx * eye[0] + dy * eye[1] + dz * eye[2]
-
-    def refine(_, state):
-        lo, hi = state
-        tm = 0.5 * (lo + hi)
-        fm = _surface_f(mosaic, eye, dirs, c0, b, tm)
-        below = fm <= 0.0
-        return jnp.where(below, lo, tm), jnp.where(below, tm, hi)
-
-    if n_pre_bisect > 0:
-        t_lo, t_hi = jax.lax.fori_loop(0, n_pre_bisect, refine, (t_lo, t_hi))
-
-    gx0, gy0, alt0 = _track_raster(mosaic, eye, dirs, c0, b, t_lo)
-    gx1, gy1, alt1 = _track_raster(mosaic, eye, dirs, c0, b, t_hi)
-    span = jnp.maximum(t_hi - t_lo, 1e-6)
-    degen = (t_hi - t_lo) <= 1e-6  # hit-at-start brackets (camera below)
-
-    f_lo = _surface_f(mosaic, eye, dirs, c0, b, t_lo)
-    f_hi = _surface_f(mosaic, eye, dirs, c0, b, t_hi)
-    u_star = _cell_walk_core(
-        mosaic, (gx0, gy0, alt0, gx1, gy1, alt1), f_lo, f_hi,
-        active & (~degen), n_cells=n_cells,
-    )
-    t_star = jnp.where(degen, t_hi, t_lo + u_star * span)
-    return jnp.where(active, t_star, t_hi)
-
-
-def _lane_shuffle(planes, fy: int = 8, fx: int = 8):
-    """Interleave rows/columns so adjacent VREG sublanes/lanes process
-    pixels ~H/fy rows and ~W/fx columns apart.
-
-    Measured (scripts/probe_gather_pattern.py, v5e): gathers whose adjacent
-    lanes touch adjacent table rows run at ~75 M/s; the same gathers with
-    lanes >= ~1 KB apart run at ~138 M/s. Neighboring pixels march through
-    neighboring terrain cells, so the natural image layout is the slow
-    pattern; this shuffle decorrelates lane addresses. Both directions are
-    reshape+transpose relayouts XLA executes as tiled copies (bandwidth,
-    not gathers) — and every march/shade op between shuffle and unshuffle
-    is elementwise, so results are bit-identical.
-
-    Returns (shuffled_planes, meta) — invert with `_lane_unshuffle`.
-    """
-    H, W = planes[0].shape
-    Hp = -(-H // fy) * fy
-    Wp = -(-W // fx) * fx
-    gy, gx = Hp // fy, Wp // fx
-
-    def sh(a):
-        if Hp != H:
-            a = jnp.concatenate([a, jnp.repeat(a[-1:], Hp - H, 0)], 0)
-        if Wp != W:
-            a = jnp.concatenate([a, jnp.repeat(a[:, -1:], Wp - W, 1)], 1)
-        a = a.reshape(fy, gy, Wp).transpose(1, 0, 2).reshape(Hp, Wp)
-        a = a.reshape(Hp, fx, gx).transpose(0, 2, 1).reshape(Hp, Wp)
-        return a
-
-    return [sh(p) for p in planes], (H, W, Hp, Wp, fy, fx)
-
-
-def _lane_unshuffle(planes, meta):
-    H, W, Hp, Wp, fy, fx = meta
-    gy, gx = Hp // fy, Wp // fx
-
-    def ush(a):
-        a = a.reshape(Hp, gx, fx).transpose(0, 2, 1).reshape(Hp, Wp)
-        a = a.reshape(gy, fy, Wp).transpose(1, 0, 2).reshape(Hp, Wp)
-        return a[:H, :W]
-
-    return [ush(p) for p in planes]
-
-
 def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
                        n_window: int, n_cells: int, margin_rel: float,
                        margin_abs: float, lane_shuffle: bool = False):
@@ -742,14 +660,11 @@ def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
 
 def _window_march(mosaic, eye, dirs, t_min, t_max, any_hit, *,
                   n_window: int, n_refine: int, margin_rel: float,
-                  margin_abs: float, analytic_refine: bool = False,
-                  n_cells: int = 4, n_pre_bisect: int = 0):
-    """Uniform march restricted to per-pixel brackets + refinement.
-
-    Refinement is either ``n_refine`` bisection rounds (one table gather
-    each) or, with ``analytic_refine``, the closed-form raster-cell walk
-    (`_cell_walk_refine`) — exact within the found step bracket at roughly
-    a quarter of the gathers."""
+                  margin_abs: float):
+    """Uniform march restricted to per-pixel brackets + bisection refine
+    (the quad-track variant `_window_march_quad` is the production path;
+    this serves mosaics without a cell table and the ray-prepass guided
+    mode)."""
     dx, dy, dz = dirs
     e_norm = jnp.linalg.norm(eye)
     a0 = e_norm - R0
@@ -789,13 +704,6 @@ def _window_march(mosaic, eye, dirs, t_min, t_max, any_hit, *,
         body,
         (hit0, t_lo, jnp.where(hit0, t_lo, t_hi), f0),
     )
-
-    if analytic_refine and getattr(mosaic, "has_cell_table", False):
-        t_star = _cell_walk_refine(
-            mosaic, eye, dirs, lo, hi, found & (~hit0),
-            n_cells=n_cells, n_pre_bisect=n_pre_bisect,
-        )
-        return found, jnp.where(hit0, hi, t_star)
 
     def refine(_, state):
         lo, hi = state
@@ -896,6 +804,7 @@ def march_guided_panorama(
     analytic_refine: bool = True,
     n_cells: int = 4,
     n_pre_bisect: int = 2,
+    prepass_k_back: int = 1 << 20,
 ):
     """Exact march with t-ranges from an exact-panorama profile prepass.
 
@@ -967,7 +876,8 @@ def march_guided_panorama(
         elev_min=-half_win, elev_max=half_win,
     )
     pre = panorama_crossing_prepass(
-        mosaic, eye, spec_pre, azimuth_offset=az_c, elev_offset=el_c
+        mosaic, eye, spec_pre, azimuth_offset=az_c, elev_offset=el_c,
+        k_back=prepass_k_back,
     )
 
     BIG = jnp.float32(3.0e38)
