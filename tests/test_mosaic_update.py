@@ -188,3 +188,20 @@ def test_streaming_render_smoke():
     res = eng.render(cam, 96, 64, n_steps=256, n_refine=8, with_labels=False)
     assert np.asarray(res.hit).mean() > 0.1
     assert np.isfinite(np.asarray(res.color_linear)).all()
+
+
+def test_add_then_unload_before_render():
+    """Queued add followed by unload of the same tile before any mosaic
+    access must not crash (the add op's tile is gone; the remove op
+    rebuilds the region)."""
+    eng = _streaming_engine()
+    a, b = tile_at(0, 0), tile_at(0, 1)
+    eng.add_terrain(a.location, a.heights, a.transform)
+    eng.add_terrain(b.location, b.heights, b.transform)
+    eng.mosaic
+    c = tile_at(1, 0)
+    eng.add_terrain(c.location, c.heights, c.transform)
+    eng.unload_terrain(c.location)  # before any render
+    m = eng.mosaic
+    ref = _reference_build(eng, [a, b])
+    _assert_mosaics_bitwise(m, ref)

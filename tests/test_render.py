@@ -352,3 +352,39 @@ def test_prepass_brackets_contain_uniform_crossings():
     above = (tu > d_hi * 1.015 + 30.0) & both
     assert below.mean() < 0.002, f"{below.mean():.3%} crossings before d_lo"
     assert above.mean() < 0.01, f"{above.mean():.3%} crossings after d_hi"
+
+
+def test_sample_attributes_cell_matches_soa():
+    """The single-gather cell-row attribute fetch (32 B rows: corner
+    heights + packed corner normals) is bit-identical to the four-gather
+    attr-table path."""
+    from topo_renderer_tpu.ops.surface import (
+        sample_attributes_cell,
+        sample_attributes_soa,
+    )
+
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05)
+    rng = np.random.default_rng(3)
+    gx = jnp.asarray(rng.uniform(-2, 66, (64, 64)).astype(np.float32))
+    gy = jnp.asarray(rng.uniform(-2, 66, (64, 64)).astype(np.float32))
+    a = sample_attributes_cell(mosaic, gx, gy)
+    b = sample_attributes_soa(mosaic, gx, gy)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_lane_shuffle_roundtrip():
+    """The lane-decorrelating pixel interleave inverts exactly (including
+    non-multiple-of-8 shapes, which pad with edge rows)."""
+    from topo_renderer_tpu.ops.raycast import _lane_shuffle, _lane_unshuffle
+
+    rng = np.random.default_rng(5)
+    for shape in ((450, 800), (96, 160), (64, 128)):
+        a = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        (sa, sb), meta = _lane_shuffle([a, b])
+        ra, rb = _lane_unshuffle([sa, sb], meta)
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(rb), np.asarray(b))
+        # the shuffle actually moves pixels (not the identity)
+        assert not np.array_equal(np.asarray(sa)[: shape[0], : shape[1]], np.asarray(a))

@@ -279,7 +279,7 @@ class WebFrontend:
             )
             sess.camera = cam
         state = _camera_state(cam)
-        if not changed and not body.get("force"):
+        if not changed and not body.get("force") and not getattr(sess, "pending_redraw", False):
             return None, state, False
         # Pipelined frame loop (round-2 verdict item 4): only the DEVICE
         # render dispatch happens under the render lock; the u8 pull,
@@ -289,6 +289,10 @@ class WebFrontend:
         # the next delivered frame) instead of queueing render latency.
         acquired = self._render_lock.acquire(timeout=0.0 if body.get("drop", True) else 30.0)
         if not acquired:
+            # Input was applied but no frame will show it; mark the session
+            # so the NEXT request renders even with no further events
+            # (otherwise the view freezes one gesture-step behind).
+            sess.pending_redraw = True
             return None, state, False
         try:
             self.app.pump_events()
@@ -306,13 +310,17 @@ class WebFrontend:
         except Exception:
             # No frame was delivered: roll the camera back so the consumed
             # input can't silently teleport the view when rendering recovers
-            # (e.g. /frame raced /location before any terrain loaded).
+            # (e.g. /frame raced /location before any terrain loaded) — but
+            # only if no concurrent pipelined request advanced it since
+            # (compare-and-swap; clobbering would discard THEIR input).
             with sess.lock:
-                sess.camera = prev_camera
-                sess.last_frame_t = prev_frame_t
+                if sess.camera is cam:
+                    sess.camera = prev_camera
+                    sess.last_frame_t = prev_frame_t
             raise
         finally:
             self._render_lock.release()
+        sess.pending_redraw = False
         frame = np.asarray(res.color)  # device -> host, outside the lock
         if res.layouts:
             from topo_renderer_tpu.render.overlay import composite_labels

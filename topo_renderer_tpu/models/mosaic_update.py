@@ -141,7 +141,10 @@ def apply_slot_update(
 
     heights2d = mosaic.heights_flat.reshape(h_m, w_m)
     heights2d = jax.lax.dynamic_update_slice(heights2d, blk, (oy, ox))
-    hmax = jnp.maximum(jnp.max(heights2d), jnp.float32(0.0))
+    # Matches build_mosaic: max over valid heights (may be negative for
+    # below-sea-level terrain), 0.0 when nothing is valid.
+    hmax_raw = jnp.max(heights2d)
+    hmax = jnp.where(hmax_raw < 0.5 * POISON_HEIGHT, jnp.float32(0.0), hmax_raw)
 
     # ---- level 0: packed attrs (region +-1), window table, cell rows ------
     a_h = min(th + 4, h_m)             # attr inner: region +-1 (+2 slack)
@@ -175,10 +178,14 @@ def apply_slot_update(
         )
 
     if mosaic.has_cell_table:
-        # Cells with any corner in the region: rows [oy-1, oy+th) etc.
-        c_h, c_w = th + 2, tw + 2
-        cy0 = jnp.clip(oy - 1, 0, h_m - c_h)
-        cx0 = jnp.clip(ox - 1, 0, w_m - c_w)
+        # Cells whose corner NORMALS can change: validity flips at the
+        # region edge move compute_normals output at region +-1, and cells
+        # at row oy-2 reference those texels as their south corners — so
+        # the window starts at oy-2 (a bare oy-1 left stale corner normals
+        # for abutting tile layouts).
+        c_h, c_w = min(th + 4, h_m), min(tw + 4, w_m)
+        cy0 = jnp.clip(oy - 2, 0, h_m - c_h)
+        cx0 = jnp.clip(ox - 2, 0, w_m - c_w)
         # Heights AND packed normals over the cell window +1 east/south,
         # clamped at the table edge exactly like the full build's
         # edge-clamped shifts (normals read back from the just-updated attr

@@ -543,6 +543,48 @@ def _track_raster(mosaic, eye, dirs, c0, b, t):
     return gx, gy, alt
 
 
+def _lane_shuffle(planes, fy: int = 8, fx: int = 8):
+    """Interleave rows/columns so adjacent VREG sublanes/lanes process
+    pixels ~H/fy rows and ~W/fx columns apart.
+
+    Measured NEUTRAL for the windowed march on v5e (the gather bottleneck
+    tracks whole-VREG address duplication, which a pixel interleave cannot
+    remove — scripts/probe_gather_pattern.py / probe_quad3.py), so the
+    march defaults it off; kept because it is bit-identical (both
+    directions are reshape+transpose relayouts, and everything between
+    shuffle and unshuffle is elementwise) and other backends may differ.
+
+    Returns (shuffled_planes, meta) — invert with `_lane_unshuffle`.
+    """
+    H, W = planes[0].shape
+    Hp = -(-H // fy) * fy
+    Wp = -(-W // fx) * fx
+    gy, gx = Hp // fy, Wp // fx
+
+    def sh(a):
+        if Hp != H:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], Hp - H, 0)], 0)
+        if Wp != W:
+            a = jnp.concatenate([a, jnp.repeat(a[:, -1:], Wp - W, 1)], 1)
+        a = a.reshape(fy, gy, Wp).transpose(1, 0, 2).reshape(Hp, Wp)
+        a = a.reshape(Hp, fx, gx).transpose(0, 2, 1).reshape(Hp, Wp)
+        return a
+
+    return [sh(p) for p in planes], (H, W, Hp, Wp, fy, fx)
+
+
+def _lane_unshuffle(planes, meta):
+    H, W, Hp, Wp, fy, fx = meta
+    gy, gx = Hp // fy, Wp // fx
+
+    def ush(a):
+        a = a.reshape(Hp, gx, fx).transpose(0, 2, 1).reshape(Hp, Wp)
+        a = a.reshape(gy, fy, Wp).transpose(1, 0, 2).reshape(Hp, Wp)
+        return a[:H, :W]
+
+    return [ush(p) for p in planes]
+
+
 def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
                        n_window: int, n_cells: int, margin_rel: float,
                        margin_abs: float, lane_shuffle: bool = False):
@@ -803,7 +845,6 @@ def march_guided_panorama(
     supersample: float = 1.25,
     analytic_refine: bool = True,
     n_cells: int = 4,
-    n_pre_bisect: int = 2,
     prepass_k_back: int = 1 << 20,
 ):
     """Exact march with t-ranges from an exact-panorama profile prepass.
@@ -885,12 +926,15 @@ def march_guided_panorama(
     # Pool the bracket's far end over EXACT-profile hits only: bound-only
     # texels carry d_hi = FAR, and one of them in a 3x3 neighborhood would
     # blow every neighbor's bracket out to the far plane (a 63 km step
-    # march finds nothing). Neighborhoods with no exact end anywhere march
-    # to FAR — the correct conservative fallback for bound-only regions.
-    d_hi = jnp.where(pre["hit"] & (pre["d_hi"] < 0.98 * FAR), pre["d_hi"], -BIG)
+    # march finds nothing). A texel that is ITSELF bound-only keeps the FAR
+    # end (its own crossing has no exact upper bound — truncating it to a
+    # neighbor's foreground crossing would re-introduce the grazing miss),
+    # as do neighborhoods with no exact end anywhere.
+    bound_only = pre["hit"] & (pre["d_hi"] >= 0.98 * FAR)
+    d_hi = jnp.where(pre["hit"] & (~bound_only), pre["d_hi"], -BIG)
     t_min_img = _pool3(d_lo, jnp.minimum)
     t_max_img = _pool3(d_hi, jnp.maximum)
-    t_max_img = jnp.where(t_max_img > 0.0, t_max_img, FAR)
+    t_max_img = jnp.where(bound_only | (t_max_img <= 0.0), FAR, t_max_img)
 
     # Nearest prepass texel per pixel; one packed row gather fetches both
     # bracket ends (row gathers cost the same as scalar gathers here).

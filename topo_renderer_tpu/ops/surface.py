@@ -47,6 +47,11 @@ def cell_rows(mosaic, idx):
     `psum`-assembled: every cell row lives on exactly one device, so the
     masked sum IS the row. This is what lets the triangle-exact march run
     against tables larger than one chip's HBM.
+
+    Note: this runs psum/axis_index inside `fori_loop` bodies under the
+    shard_map — exercised green by tests on the CPU mesh backend (it was
+    specifically `lax.scan` bodies where collectives mis-executed; see
+    `parallel/sharded_mosaic._masked_rows_3d_local`).
     """
     if getattr(mosaic, "cell_sharded", False):
         from topo_renderer_tpu.parallel.sharded_mosaic import GEO_AXIS

@@ -260,7 +260,11 @@ class RenderEngine:
         while self._pending:
             op, location, (slot, oy, ox, th, tw) = self._pending.pop(0)
             if op == "add":
-                tile = self._tiles[location]
+                tile = self._tiles.get(location)
+                if tile is None:
+                    # Added then unloaded before any render: the queued
+                    # remove op rebuilds the region; skip the stale add.
+                    continue
                 self._rotations[slot] = np.asarray(
                     normal_to_world_rotation(
                         tile.transform.model_point[0], tile.transform.model_point[1]
@@ -271,7 +275,9 @@ class RenderEngine:
                 -1.0e12
             )
             host.cell_tile[oy : oy + th, ox : ox + tw] = cells
-            host.tile_rot = self._rotations[: max(len(self._slots), 1)].copy()
+            # Full capacity: cell_tile may hold slot indices above the
+            # current tile count after unloads.
+            host.tile_rot = self._rotations.copy()
 
             # Owner windows per level from the updated host cell_tile
             # (computed slice-by-slice: materializing the full owner map
