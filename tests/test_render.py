@@ -228,7 +228,7 @@ def test_render_perspective_guided_close():
     ref = render_perspective(mosaic, cam, **kw)
     got = render_perspective(mosaic, cam, guided=True, **kw)
     err = np.abs(np.asarray(got["color"]) - np.asarray(ref["color"])).max(axis=-1)
-    assert (err > 2.0 / 255.0).mean() < 0.02
+    assert (err > 2.0 / 255.0).mean() < 0.005  # round 3: tightened from 2%
     assert np.median(err) < 1.0 / 1020.0
 
 
