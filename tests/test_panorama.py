@@ -423,3 +423,33 @@ def test_profile_far_stride_close_to_full():
     assert np.median(diff) == 0.0
     ha = np.asarray(a["hit"]); hb = np.asarray(b["hit"])
     assert (ha != hb).mean() < 0.05
+
+
+def test_far_stride_quality_bounded():
+    """Distance-adaptive azimuth stride (2x then 4x tiers): far profile
+    columns are shared, quantizing distant terrain to 2-/4-column blocks.
+    The lateral quantization is k*dphi/0.0112 LOD texels (<= 0.55 at k=4),
+    so the strided render must stay close to the unstrided one away from
+    a small silhouette band."""
+    from tests.helpers import make_tile
+    from topo_renderer_tpu.models.scene import build_mosaic
+    from topo_renderer_tpu.ops.geometry import R0
+
+    tile = make_tile(49, 20, n=513, span_deg=0.5)
+    mosaic = build_mosaic([tile])
+    lat, lon = np.radians(49.25), np.radians(20.25)
+    r = R0 + 2500.0
+    eye = jnp.array(
+        [r * np.cos(lat) * np.cos(lon), r * np.cos(lat) * np.sin(lon),
+         r * np.sin(lat)], jnp.float32,
+    )
+    sun = jnp.array([0.3, 0.5, 0.8], jnp.float32)
+    base = dict(width=512, height=128, n_steps=256, clipmap_threshold=10**9)
+    s0 = PanoramaSpec.fast(**base)
+    s2 = PanoramaSpec.fast(**base, profile_far_stride_m=8000.0,
+                           profile_far_stride4_m=30000.0)
+    a = np.asarray(render_panorama(mosaic, eye, s0, sun)["color"])
+    b = np.asarray(render_panorama(mosaic, eye, s2, sun)["color"])
+    err = np.abs(a - b).max(axis=-1)
+    assert np.median(err) < 1.0 / 255.0
+    assert (err > 8.0 / 255.0).mean() < 0.03, f"{(err > 8/255).mean():.2%}"

@@ -96,7 +96,19 @@ class PanoramaSpec:
     # AND the profile-carried shading attributes of distant terrain
     # quantize to 2-column (~2 px) azimuth blocks, in exchange for fewer
     # profile gathers (~5% off config 4 at 8 km; an opt-in serving knob).
+    #
+    # Quality bound (why stride is distance-INDEPENDENT-safe under the log
+    # schedule): at ground distance d the lateral spacing of stride-k
+    # samples is k*d*dphi metres while the LOD level sampled there has
+    # texels of ~ds = 0.0112*d metres, so the lateral quantization is
+    # k*dphi/0.0112 LOD texels — e.g. 0.27 texel at k=2 and 0.55 texel at
+    # k=4 for a 4096-wide 360 degree panorama. The stride never outruns
+    # the resolution the LOD schedule is already sampling at.
     profile_far_stride_m: float = 0.0
+    # Second tier: QUADRUPLE the azimuth stride beyond this distance
+    # (0 = off; use together with profile_far_stride_m < this). Same
+    # quality bound with k=4.
+    profile_far_stride4_m: float = 0.0
     # Banded Pallas crossing kernel (ops/pallas_crossing.py): bit-identical
     # output; exploits the running-max/threshold monotonicity to update only
     # the contiguous crossing band per step (O(H+N) row-updates instead of
@@ -1048,6 +1060,8 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
         cuts.append(spec.near_bilinear_m)
     if spec.profile_far_stride_m > 0.0:
         cuts.append(spec.profile_far_stride_m)
+    if spec.profile_far_stride4_m > 0.0:
+        cuts.append(spec.profile_far_stride4_m)
     for cut in cuts:
         # Statically split segments at the bilinear / far-stride boundaries.
         k_cut = int(_np.searchsorted(s_np, cut))
@@ -1064,16 +1078,25 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
             and use_attr_prof
             and s_np[k1 - 1] <= spec.near_bilinear_m
         )
-        # Far segments sample half the azimuth columns and repeat (the
-        # spec's profile_far_stride_m knob); both visibility and the
-        # profile-carried attributes quantize to 2-column blocks there.
+        # Far segments sample 1/2 (or 1/4) of the azimuth columns and
+        # repeat (profile_far_stride_m / profile_far_stride4_m); both
+        # visibility and the profile-carried attributes quantize to
+        # 2-/4-column blocks there (see the spec fields' quality bound).
+        far4 = (
+            spec.profile_far_stride4_m > 0.0
+            and not seg_bilinear
+            and s_np[k0] >= spec.profile_far_stride4_m
+            and h_prof_b[0].shape[1] % 4 == 0
+        )
         far2 = (
-            spec.profile_far_stride_m > 0.0
+            not far4
+            and spec.profile_far_stride_m > 0.0
             and not seg_bilinear
             and s_np[k0] >= spec.profile_far_stride_m
             and h_prof_b[0].shape[1] % 2 == 0
         )
-        hp_seg = tuple(c[:, ::2] for c in h_prof_b) if far2 else h_prof_b
+        stride = 4 if far4 else (2 if far2 else 1)
+        hp_seg = tuple(c[:, ::stride] for c in h_prof_b) if stride > 1 else h_prof_b
         _, use_window, wsy, wsx, (h_t, w_t) = plan[level]
         if level == 0:
             hf, af = mosaic.heights_flat, mosaic.attr_packed_flat
@@ -1158,9 +1181,9 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
                     )
                     for sh in (0, 10, 20)
                 )
-                if far2:
+                if stride > 1:
                     comps_part = tuple(
-                        jnp.repeat(c, 2, axis=1) for c in comps_part
+                        jnp.repeat(c, stride, axis=1) for c in comps_part
                     )
                 parts_attr.append(comps_part)
             else:
@@ -1172,8 +1195,8 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
         # function of elevation, and y/x == tan(e) (x > 0 along the
         # march) — this removes one transcendental per profile sample.
         e_part = jnp.where(ok, y / x, jnp.float32(-1.0e30))
-        if far2:
-            e_part = jnp.repeat(e_part, 2, axis=1)
+        if stride > 1:
+            e_part = jnp.repeat(e_part, stride, axis=1)
         parts_e.append(e_part)
     e_prof = jnp.concatenate(parts_e, axis=0)  # [N, ws]
     if use_attr_prof:
