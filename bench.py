@@ -267,7 +267,7 @@ def main():
     wp = max(256, min(int(math.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
     hp = max(64, min(int(math.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
     spec_pre = PanoramaSpec(
-        width=wp, height=hp, n_steps=1024, n_refine=0,
+        width=wp, height=hp, n_steps=896, n_refine=0,  # march's prepass cap
         azimuth_start=-0.5 * az_span, azimuth_span=az_span,
         elev_min=-half_win, elev_max=half_win,
     )

@@ -844,7 +844,7 @@ def march_guided_panorama(
     n_window: int = 8,
     supersample: float = 1.25,
     analytic_refine: bool = True,
-    n_cells: int = 4,
+    n_cells: int = 3,
     prepass_k_back: int = 1 << 20,
 ):
     """Exact march with t-ranges from an exact-panorama profile prepass.
@@ -911,8 +911,11 @@ def march_guided_panorama(
     wp = max(256, min(int(_m.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
     hp = max(64, min(int(_m.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
 
+    # 896 prepass steps measure quality-equal to 1024 on the gated scenes
+    # (the conservative bound owns the hit flag; d_hi moves by <=14% of a
+    # step) and shave ~12% of the prepass gathers.
     spec_pre = PanoramaSpec(
-        width=wp, height=hp, n_steps=min(n_steps, 1024), n_refine=0,
+        width=wp, height=hp, n_steps=min(n_steps, 896), n_refine=0,
         azimuth_start=-0.5 * az_span, azimuth_span=az_span,
         elev_min=-half_win, elev_max=half_win,
     )
