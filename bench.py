@@ -263,7 +263,7 @@ def main():
     )
     half_win = min(1.03 * half_diag + 0.01, 0.49 * math.pi)
     az_span = min(2 * math.pi, 2 * half_win / max(math.cos(half_win), 0.3))
-    px_per_rad = 1.25 * 450 / fov  # march_guided_panorama's default supersample
+    px_per_rad = 1.1 * 450 / fov  # march_guided_panorama's default supersample
     wp = max(256, min(int(math.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
     hp = max(64, min(int(math.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
     spec_pre = PanoramaSpec(

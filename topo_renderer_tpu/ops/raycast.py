@@ -842,7 +842,7 @@ def march_guided_panorama(
     fov_hint: float,
     aspect: float,
     n_window: int = 8,
-    supersample: float = 1.25,
+    supersample: float = 1.1,
     analytic_refine: bool = True,
     n_cells: int = 3,
     prepass_k_back: int = 1 << 20,
