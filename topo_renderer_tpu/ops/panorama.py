@@ -51,6 +51,7 @@ from topo_renderer_tpu.ops.postprocess import (
 )
 from topo_renderer_tpu.ops.surface import (
     INVALID_HEIGHT,
+    raster_from_ecef,
     raster_from_geo,
     sample_attributes_nearest,
     sample_attributes_soa,
@@ -166,9 +167,7 @@ def _surface_elevation(mosaic, a0, up, h_col, sig, level: int = 0, nearest: bool
     sdx = ux * cs + hx * sn
     sdy = uy * cs + hy * sn
     sdz = uz * cs + hz * sn
-    lat = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
-    lon = jnp.degrees(jnp.arctan2(sdy, sdx))
-    gx, gy = raster_from_geo(mosaic, lon, lat)
+    gx, gy = raster_from_ecef(mosaic, sdx, sdy, sdz, 1.0)
     h = sample_height_level(mosaic, level, gx, gy, nearest=nearest)
     y = h * cs - a0 - 2.0 * R0 * jnp.sin(0.5 * sig) ** 2
     x = (R0 + h) * sn
@@ -622,9 +621,7 @@ def render_panorama(
         n_y = 2.0 * (n_payload[1] / 1023.0) - 1.0
         n_z = 2.0 * (n_payload[2] / 1023.0) - 1.0
     else:
-        lat = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
-        lon = jnp.degrees(jnp.arctan2(sdy, sdx))
-        gx, gy = raster_from_geo(mosaic, lon, lat)
+        gx, gy = raster_from_ecef(mosaic, sdx, sdy, sdz, 1.0)
         if spec.attrs_nearest:
             h_star, n_x, n_y, n_z, _ = sample_attributes_nearest(mosaic, gx, gy)
         else:
@@ -819,8 +816,9 @@ def panorama_crossing_prepass(
       * **piecewise-quadratic trace fit**: the expensive lat/lon -> raster
         transcendentals run only at 2 endpoints + midpoint of every ``seg``
         step span; samples in between evaluate two mul-adds. Fit error over
-        a 64-step span (step ratio 1.43x) is ~1e-4 texels — below the f32
-        degrees-quantization noise of the exact evaluation itself;
+        a 64-step span (step ratio 1.43x) is ~1e-4 texels — below the
+        ~2e-3-texel f32 noise floor of the exact evaluation itself
+        (see `surface.raster_from_ecef`);
       * **ratio-space profile**: visibility ordering uses y/x == tan(e)
         directly against tan-space pixel thresholds (x > 0 along the
         march), dropping the per-sample arctan.
@@ -880,9 +878,7 @@ def panorama_crossing_prepass(
         sdx = ux * cs + hx * sn
         sdy = uy * cs + hy * sn
         sdz = uz * cs + hz * sn
-        lat = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
-        lon = jnp.degrees(jnp.arctan2(sdy, sdx))
-        return raster_from_geo(mosaic, lon, lat)
+        return raster_from_ecef(mosaic, sdx, sdy, sdz, 1.0)
 
     # Static conservative bound levels per step (dilation at level L covers
     # +-2^L base texels >= the step spacing, so the bound dominates any
@@ -1121,9 +1117,7 @@ def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, si
         sdx = up[0] * cs + hp_seg[0] * sn
         sdy = up[1] * cs + hp_seg[1] * sn
         sdz = up[2] * cs + hp_seg[2] * sn
-        lat_s = jnp.degrees(jnp.arcsin(jnp.clip(sdz, -1.0, 1.0)))
-        lon_s = jnp.degrees(jnp.arctan2(sdy, sdx))
-        gx0, gy0 = raster_from_geo(mosaic, lon_s, lat_s)
+        gx0, gy0 = raster_from_ecef(mosaic, sdx, sdy, sdz, 1.0)
         lx = (gx0 - off) / s - ox
         ly = (gy0 - off) / s - oy
         if seg_bilinear:

@@ -37,6 +37,7 @@ from topo_renderer_tpu.ops import shading as shd
 from topo_renderer_tpu.ops.geometry import R0
 from topo_renderer_tpu.ops.postprocess import postprocess_soa
 from topo_renderer_tpu.ops.surface import (
+    raster_from_ecef,
     raster_from_geo,
     sample_attributes_soa,
     sample_height,
@@ -80,9 +81,7 @@ def _surface_f(mosaic, eye, dirs, c0, b, t):
     q = c0 + 2.0 * t * b + t * t
     r = jnp.sqrt(jnp.maximum(R0 * R0 + q, 0.0))
     alt = q / (r + R0)
-    lat = jnp.degrees(jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0)))
-    lon = jnp.degrees(jnp.arctan2(py, px))
-    gx, gy = raster_from_geo(mosaic, lon, lat)
+    gx, gy = raster_from_ecef(mosaic, px, py, pz, r)
     h = sample_height(mosaic, gx, gy)
     return alt - h
 
@@ -249,9 +248,7 @@ def _march_two_level(
         py = eye[1] + tm * dy
         pz = eye[2] + tm * dz
         r = jnp.sqrt(px * px + py * py + pz * pz)
-        lat = jnp.degrees(jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0)))
-        lon = jnp.degrees(jnp.arctan2(py, px))
-        gx, gy = raster_from_geo(mosaic, lon, lat)
+        gx, gy = raster_from_ecef(mosaic, px, py, pz, r)
 
         bound = jnp.full_like(dt_c, jnp.float32(3.0e38))  # no valid level
         for lv in reversed(levels):  # coarsest first; finest overwrites
@@ -537,9 +534,7 @@ def _track_raster(mosaic, eye, dirs, c0, b, t):
     q = c0 + 2.0 * t * b + t * t
     r = jnp.sqrt(jnp.maximum(R0 * R0 + q, 0.0))
     alt = q / (r + R0)
-    lat = jnp.degrees(jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0)))
-    lon = jnp.degrees(jnp.arctan2(py, px))
-    gx, gy = raster_from_geo(mosaic, lon, lat)
+    gx, gy = raster_from_ecef(mosaic, px, py, pz, r)
     return gx, gy, alt
 
 
@@ -596,9 +591,10 @@ def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
     exact track at only THREE parameters (bracket ends + midpoint) and
     fits ``gx, gy, alt`` as quadratics in u — exact to ~1e-4 texels over a
     10 km window (the cubic remainder scales with 1/R0^2), which is BELOW
-    the f32 lat->degrees quantization noise of the exact evaluation itself
-    (~2.4e-3 texels), so the fitted march is statistically indistinguishable
-    from the exact one. Each of the ``n_window`` steps is then 6 mul-adds +
+    the f32 noise floor of the exact evaluation itself (~2e-3 texels from
+    input-coordinate quantization and rotation-product rounding; see
+    `surface.raster_from_ecef`), so the fitted march is statistically
+    indistinguishable from the exact one. Each of the ``n_window`` steps is then 6 mul-adds +
     ONE 16 B cell-row gather + a triangle interpolation. The found step
     bracket is refined by the analytic cell walk (`_cell_walk_core`) on the
     same fitted track — no further transcendentals anywhere.
@@ -1194,9 +1190,7 @@ def render_perspective(
 
     # Attributes + shading at the hit point.
     r = jnp.sqrt(pos_x * pos_x + pos_y * pos_y + pos_z * pos_z)
-    lat = jnp.degrees(jnp.arcsin(jnp.clip(pos_z / r, -1.0, 1.0)))
-    lon = jnp.degrees(jnp.arctan2(pos_y, pos_x))
-    gx, gy = raster_from_geo(mosaic, lon, lat)
+    gx, gy = raster_from_ecef(mosaic, pos_x, pos_y, pos_z, r)
     if (
         getattr(mosaic, "has_cell_table", False)
         and mosaic.cell_heights_flat.shape[-1] == 8
