@@ -105,6 +105,16 @@ def test_interactive_freefly_session(frontend):
     )
     assert moved > 0 or state1["yaw"] != state0["yaw"]
 
+    # Exact mode ("exact": true — the browser's checkbox): the same frame
+    # loop renders the triangle-exact guided march instead of the LOD fast
+    # path (reference analog: its ONLY render mode, terrain_renderer.rs).
+    status, jpg_exact, headers = _post(
+        base,
+        f"/frame?session={sid}",
+        {"events": [], "width": 96, "height": 64, "force": True, "exact": True},
+    )
+    assert status == 200 and jpg_exact[:2] == b"\xff\xd8"
+
     # Unknown session id -> 410 Gone so the client re-establishes.
     req = urllib.request.Request(
         base + "/frame?session=deadbeef",

@@ -17,9 +17,14 @@ renders frames on the TPU. Feature parity:
 Endpoints:
   GET  /                  — UI page (interactive canvas + location form)
   POST /session           — new free-fly session -> {"id", "camera"}
-  POST /frame?session=ID  — body {"events": [...], "width", "height"}:
-                            apply input, integrate camera, render one fast
-                            frame -> JPEG (or 204 when nothing changed)
+  POST /frame?session=ID  — body {"events": [...], "width", "height",
+                            "exact": bool}: apply input, integrate camera,
+                            render one frame -> JPEG (or 204 when nothing
+                            changed). ``exact`` renders the triangle-exact
+                            guided march (the reference's only mode,
+                            `terrain_renderer.rs:373-421`) instead of the
+                            LOD fast path — ~90 ms/frame at 800x450 on a
+                            v5e vs ~18 ms fast, still free-fly-interactive
   POST /location          — body {"latitude", "longitude"}: stream tiles,
                             notification-driven readiness (no fixed sleeps),
                             respawn session cameras at terrain + 50 m
@@ -301,7 +306,7 @@ class WebFrontend:
             if not self.app.engine.loaded_locations:
                 raise RuntimeError("no terrain loaded yet")
             res = self.app.engine.render(
-                cam, width, height, fast=True,
+                cam, width, height, fast=not bool(body.get("exact", False)),
                 with_labels=bool(body.get("labels", True)),
                 host_copy=False,  # f32 planes stay on device
                 u8_host=False,    # the u8 pull overlaps the next render

@@ -81,6 +81,37 @@ def _fast_frame_with_labels(
 
 @_partial(
     jax.jit,
+    static_argnames=(
+        "width", "height", "n_steps", "n_refine", "pixelize_n", "fov_hint",
+        "guided",
+    ),
+)
+def _exact_frame_with_labels(
+    mosaic, camera, pos, valid, *, width, height, n_steps, n_refine,
+    pixelize_n, fov_hint, guided,
+):
+    """Triangle-exact frame AND label visibility in ONE program.
+
+    Same rationale as `_fast_frame_with_labels`: the interactive exact mode
+    (web free-fly "exact" toggle) renders + label-tests every frame; fused,
+    the depth stays on device and the packed visibility rides back with the
+    frame — one dispatch instead of two per frame on a tunneled TPU."""
+    out = render_perspective(
+        mosaic, camera, width=width, height=height, n_steps=n_steps,
+        n_refine=n_refine, pixelize_n=pixelize_n, guided=guided,
+        fov_hint=fov_hint,
+    )
+    vp = camera.build_view_proj_matrix(float(width), float(height))
+    vis = peak_visibility(
+        pos, valid, vp, out["depth"], width=width, height=height,
+        tolerance_rel=0.0,  # exact depth: the reference's absolute tolerance
+    )
+    packed = jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
+    return out, packed
+
+
+@_partial(
+    jax.jit,
     static_argnames=("spec", "fog", "pixelize_n", "tolerance_rel"),
 )
 def _panorama_with_labels(
@@ -576,6 +607,19 @@ class RenderEngine:
                 pixelize_n=pixelize_n,
                 fov_hint=fov_hint,
             )
+        elif want_labels:
+            # Fused exact frame + label visibility: one dispatch per frame
+            # (the web "exact" free-fly mode renders this every frame).
+            entries, pos, valid = self._padded_peaks()
+            out, packed_dev = _exact_frame_with_labels(
+                mosaic, camera, pos, valid,
+                width=width, height=height, n_steps=n_steps,
+                n_refine=n_refine, pixelize_n=pixelize_n,
+                fov_hint=fov_hint if guided else None, guided=guided,
+            )
+            visible_labels, layouts = self._label_pass_packed(
+                entries, np.asarray(packed_dev)
+            )
         else:
             out = render_perspective(
                 mosaic,
@@ -588,14 +632,6 @@ class RenderEngine:
                 guided=guided,
                 fov_hint=fov_hint if guided else None,
             )
-            if want_labels:
-                vp = camera.build_view_proj_matrix(float(width), float(height))
-                entries, pos, valid = self._padded_peaks()
-                vis = peak_visibility(
-                    pos, valid, vp, out["depth"], width=width, height=height,
-                    tolerance_rel=0.0,
-                )
-                visible_labels, layouts = self._label_pass(entries, vis)
 
         cp = np.asarray if host_copy else (lambda a: a)
         if u8_host:
