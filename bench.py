@@ -88,28 +88,9 @@ def main():
     ms4_extract = _sustained_ms(
         lambda: extract_clipmap_windows(mosaic, eye, spec4), reps=20
     )
-
-    # The opt-in distance-adaptive azimuth-stride serving knob (2x beyond
-    # 8 km, 4x beyond 24 km; lateral quantization bounded at 0.27/0.55 LOD
-    # texels — see PanoramaSpec). Measured here so the driver records what
-    # the preset buys without changing config 4's quality-default metric.
-    import dataclasses as _dc
-
-    spec4s = _dc.replace(
-        spec4, profile_far_stride_m=8_000.0, profile_far_stride4_m=24_000.0
-    )
-
-    def run4s():
-        win = extract_clipmap_windows(mosaic, eye, spec4s)
-        return render_panorama(
-            mosaic, eye, spec4s, sun, fog="atmosphere", windows=win
-        )["color"]
-
-    ms4s = _sustained_ms(run4s)
     stages4 = {
         "extract_ms": round(ms4_extract, 2),
         "render_ms": round(ms4 - ms4_extract, 2),
-        "serving_stride_preset_ms": round(ms4s, 2),
     }
     configs.append(
         {
