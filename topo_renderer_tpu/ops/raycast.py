@@ -837,10 +837,10 @@ def march_guided_panorama(
     n_refine: int,
     fov_hint: float,
     aspect: float,
-    n_window: int = 8,
+    n_window: int = 6,
     supersample: float = 1.1,
     analytic_refine: bool = True,
-    n_cells: int = 3,
+    n_cells: int = 2,
     prepass_k_back: int = 1 << 20,
 ):
     """Exact march with t-ranges from an exact-panorama profile prepass.
@@ -858,8 +858,10 @@ def march_guided_panorama(
     3x3 pooled bracket of its nearest prepass texel, then `_window_march`
     resolves the exact surface inside it with ``n_window`` + ``n_refine``
     samples (~34 gathers/pixel vs 1024 for the uniform march; the tuned
-    (16, 18) budget matches (32, 24) to 0.01% hit flips and <1e-4 relative
-    distance at p99 — sub-bracket window widths need few uniform steps).
+    (6, 2) window/cell budget matches (8, 3) to within 5e-4 hit flips and
+    the same worst-case distance tail at production scale
+    (scripts/probe_quad5.py) — sub-bracket window widths need few uniform
+    steps, and the analytic cell walk converges in <=2 cells).
     """
     import math as _m
 
