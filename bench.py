@@ -311,6 +311,9 @@ def main():
         prev = cur
     np.asarray(prev)
     ms6 = (time.perf_counter() - t0) / reps6 * 1e3
+    # Device-only sustained cost (no host pull): what co-located serving
+    # pays per frame — the gap to ms6 is pure tunnel/host-transfer RTT.
+    ms6_dev = _sustained_ms(frame6, reps=reps6)
     configs.append(
         {
             "config": 6,
@@ -320,6 +323,10 @@ def main():
             "target": None,
             "vs_baseline": None,
             "fps": round(1000.0 / ms6, 1),
+            "stages": {
+                "device_ms": round(ms6_dev, 2),
+                "transport_ms": round(max(ms6 - ms6_dev, 0.0), 2),
+            },
         }
     )
 

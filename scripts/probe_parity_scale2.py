@@ -1,0 +1,77 @@
+"""Classify the guided-march parity tail at 800x450: hit flips vs
+wrong-distance hits, and its sensitivity to prepass supersample.
+
+Follow-up to probe_parity_scale.py which measured guided frac>2/255 =
+0.18% at scale (vs 0.036% unguided). CPU-only.
+"""
+
+import dataclasses
+import math
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from raster_oracle2 import rasterize2
+from test_render import small_scene, yaw_towards, east_at
+from topo_renderer_tpu.models.camera import ViewMode
+from topo_renderer_tpu.ops.raycast import render_perspective
+
+W, H = 800, 450
+
+mosaic, cam, tile = small_scene(n=97, span_deg=0.08, height_above=500.0)
+cam = dataclasses.replace(
+    cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.1,
+    view_mode=ViewMode.NORMALS,
+)
+vp = np.asarray(cam.build_view_proj_matrix(float(W), float(H)), np.float64)
+
+c2, d2 = rasterize2(
+    np.asarray(mosaic.heights), np.asarray(mosaic.normals), (0.0, 0.0),
+    np.asarray(mosaic.model_point), np.asarray(mosaic.pixel_scale), vp,
+    np.asarray(cam.eye, np.float64),
+    np.asarray(cam.sun_angle.to_vec3(), np.float64), W, H, view_mode=1,
+)
+oracle_hit = d2 < 1.0
+print(f"oracle hits={oracle_hit.mean():.3f}", flush=True)
+
+def run(label, guided=True, **kw):
+    t0 = time.time()
+    out = render_perspective(
+        mosaic, cam, width=W, height=H, n_steps=1024, n_refine=26,
+        quantize_rt=False, apply_postprocess=False,
+        guided=guided, fov_hint=math.radians(45.0),
+        guided_kw=tuple(sorted(kw.items())),
+    )
+    got = np.asarray(out["color"])
+    our_hit = np.asarray(out["hit"])
+    err = np.abs(got - c2).max(axis=-1)
+    bad = err > 2.0 / 255.0
+    flip = bad & (our_hit != oracle_hit)
+    both = bad & our_hit & oracle_hit
+    print(
+        f"{label}: bad={bad.mean():.5%} ({bad.sum()}) "
+        f"flips={flip.sum()} both-hit-wrong={both.sum()} "
+        f"({time.time()-t0:.1f}s)",
+        flush=True,
+    )
+    return bad
+
+
+b0 = run("unguided            ", guided=False)
+b1 = run("guided ss=1.1 (def) ", guided=True)
+b2 = run("guided ss=1.25      ", guided=True, supersample=1.25)
+b3 = run("guided ss=1.5       ", guided=True, supersample=1.5)
+b4 = run("guided ss=1.1 nw=16 ", guided=True, n_window=16, n_cells=4)
+# Overlap structure: are guided-bad pixels a superset of unguided-bad?
+print(f"guided-def bad also unguided-bad: {(b1 & b0).sum()}/{b1.sum()}")

@@ -5,7 +5,7 @@ XLA implementation of clipmap window extraction costs ~9 ms/frame even though
 a window is ~0.5 MB, because XLA cross-program-prefetches every *used* input
 table of a program into scratch memory on each execution — for a mosaic with
 multi-GB attribute tables that re-streams the whole mosaic every frame. A
-Pallas kernel whose table input lives in `pltpu.ANY` (i.e. stays in HBM) and
+Pallas kernel whose table input lives in `pl.ANY` (i.e. stays in HBM) and
 whose body issues one bounded `make_async_copy` reads exactly the window
 texels, making extraction cost independent of table size.
 
@@ -56,9 +56,9 @@ def window_slice(table, sy, sx, *, wsy: int, wsx: int):
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA(())],
         out_shape=jax.ShapeDtypeStruct(lead + (wsy, wsx), table.dtype),
     )(idx, table)
@@ -100,8 +100,8 @@ def window_slice_multi(tables, origins, *, wsy: int, wsx: int):
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
         scratch_shapes=[pltpu.SemaphoreType.DMA((n,))],
         out_shape=[
             jax.ShapeDtypeStruct(t.shape[:-2] + (wsy, wsx), t.dtype) for t in tables
@@ -148,8 +148,8 @@ def window_slice_multi_batched(tables, origins, *, wsy: int, wsx: int):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
             scratch_shapes=[pltpu.SemaphoreType.DMA((n,))],
         ),
         out_shape=[

@@ -1130,6 +1130,7 @@ def render_perspective_fast(
         "pixelize_n",
         "guided",
         "fov_hint",
+        "guided_kw",
     ),
 )
 def render_perspective(
@@ -1145,6 +1146,7 @@ def render_perspective(
     apply_postprocess: bool = True,
     guided: bool = False,
     fov_hint: float | None = None,
+    guided_kw: tuple = (),
 ):
     """Render one perspective frame: the full terrain + postprocess pipeline.
 
@@ -1164,6 +1166,7 @@ def render_perspective(
             mosaic, eye, (dx, dy, dz), fwd,
             n_steps=n_steps, n_refine=min(n_refine, 18),
             fov_hint=fov_hint, aspect=width / height,
+            **dict(guided_kw),
         )
     elif guided:
         hit, t_hit = march_guided(

@@ -27,7 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from topo_renderer_tpu.ops.labels import peak_visibility_panorama
 from topo_renderer_tpu.ops.panorama import PanoramaSpec, render_panorama
@@ -117,7 +117,7 @@ def render_batch_sharded(
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P(), P()),
         out_specs=(P("dp", None, "az", None), P("dp", None, "az"), P("dp")),
-        check_rep=False,
+        check_vma=False,
     )
     color, depth, visible = fn(
         jnp.asarray(eyes, jnp.float32),

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from topo_renderer_tpu.models.scene import POISON_HEIGHT, TerrainMosaic
 from topo_renderer_tpu.ops.panorama import (
@@ -271,7 +271,7 @@ def extract_clipmap_windows_sharded(
                 mesh=mesh,
                 in_specs=(P(None, axis, None), P(), P()),
                 out_specs=P(),
-                check_rep=False,
+                check_vma=False,
             )(win2d, sy, sx)
             tbl_a = sl.reshape(2, -1).T
             if level in quad_levels:
@@ -296,7 +296,7 @@ def extract_clipmap_windows_sharded(
                     mesh=mesh,
                     in_specs=(P(axis, None), P(), P()),
                     out_specs=P(),
-                    check_rep=False,
+                    check_vma=False,
                 )(af, sy, sx)
                 tbl_a = jnp.moveaxis(sl, 0, -1).reshape(-1, 2)
                 if level in quad_levels:
@@ -315,7 +315,7 @@ def extract_clipmap_windows_sharded(
                     mesh=mesh,
                     in_specs=(P(axis), P(), P()),
                     out_specs=P(),
-                    check_rep=False,
+                    check_vma=False,
                 )(hf, sy, sx)
                 tbl_h = sl[0].reshape(-1)
         out.append((tbl_h, tbl_a, tbl_q, sx, sy))
@@ -398,7 +398,7 @@ def render_perspective_sharded(
             cam_specs = jax.tree_util.tree_map(lambda _: P(), cam)
             return shard_map(
                 body, mesh=mesh, in_specs=(m_specs, cam_specs),
-                out_specs=P(), check_rep=False,
+                out_specs=P(), check_vma=False,
             )(m, cam)
 
         fn = jax.jit(run)
@@ -559,7 +559,7 @@ def render_batch_scan_sharded(
         fn = jax.jit(
             shard_map(
                 body, mesh=mesh, in_specs=in_specs, out_specs=P(),
-                check_rep=False,
+                check_vma=False,
             )
         )
         _SHARDED_FN_CACHE[key] = fn
