@@ -11,7 +11,7 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard-set: the profile exports =axon
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
@@ -68,10 +68,6 @@ def run(label, guided=True, **kw):
     return bad
 
 
-b0 = run("unguided            ", guided=False)
-b1 = run("guided ss=1.1 (def) ", guided=True)
-b2 = run("guided ss=1.25      ", guided=True, supersample=1.25)
-b3 = run("guided ss=1.5       ", guided=True, supersample=1.5)
-b4 = run("guided ss=1.1 nw=16 ", guided=True, n_window=16, n_cells=4)
-# Overlap structure: are guided-bad pixels a superset of unguided-bad?
-print(f"guided-def bad also unguided-bad: {(b1 & b0).sum()}/{b1.sum()}")
+run("SPLIT nw=6 nc=2 m25 ", guided=True, margin_abs=25.0)
+run("SPLIT nw=6 nc=3 m25 ", guided=True, n_cells=3, margin_abs=25.0)
+run("SPLIT nw=6 nc=4 m25 ", guided=True, n_cells=4, margin_abs=25.0)

@@ -696,6 +696,175 @@ def _window_march_quad(mosaic, eye, dirs, t_min, t_max, any_hit, *,
     return found, t_lo + u_star * span
 
 
+def _grouped_bracket_pools(d_lo, d_hi_exact):
+    """3x3 bracket pooling split into TWO distance clusters per texel.
+
+    Single-interval pooling (`min d_lo` / `max d_hi` over the 3x3
+    neighborhood) is pathological exactly at silhouettes: the neighborhood
+    spans a depth discontinuity, so the union bracket runs from the near
+    ridge to the far valley and the fixed-step window march undersamples
+    it (measured at 800x450: 0.18% of pixels flip vs the rasterizer
+    oracle, vs 0.036% for the dense march — scripts/probe_parity_scale2).
+    Cluster the neighborhood's brackets by their START distance around the
+    midpoint of the d_lo spread and pool each cluster separately; the
+    march then spends its steps inside two NARROW intervals instead of
+    one wide one. Coverage is the union of the neighbors' brackets —
+    exactly the same conservativeness assumption as the single pool
+    (the inter-cluster gap provably contains no neighbor bracket starts).
+
+    ``d_lo``: crossing start per texel, BIG where the texel has no
+    crossing. ``d_hi_exact``: exact crossing end, -BIG where none (miss or
+    bound-only). Returns ``(m, m_hi, a_max, b_min, b_max)``: the pooled
+    near start / max start, the near cluster's exact end, and the far
+    cluster's start/end (sentinels where a cluster is empty).
+    """
+    BIG = jnp.float32(3.0e38)
+
+    def shifts(a):
+        up = jnp.concatenate([a[:1], a[:-1]], axis=0)
+        dn = jnp.concatenate([a[1:], a[-1:]], axis=0)
+        out = []
+        for r in (up, a, dn):
+            lf = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)
+            rt = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+            out += [lf, r, rt]
+        return out
+
+    lo_n = shifts(d_lo)
+    hi_n = shifts(d_hi_exact)
+
+    m = lo_n[0]
+    m_hi = jnp.where(lo_n[0] < BIG, lo_n[0], -BIG)
+    for p in lo_n[1:]:
+        m = jnp.minimum(m, p)
+        m_hi = jnp.maximum(m_hi, jnp.where(p < BIG, p, -BIG))
+    theta = 0.5 * (m + m_hi)
+
+    a_max = jnp.full_like(m, -BIG)
+    b_min = jnp.full_like(m, BIG)
+    b_max = jnp.full_like(m, -BIG)
+    for lo_p, hi_p in zip(lo_n, hi_n):
+        near = lo_p <= theta  # non-hit texels carry BIG -> never near
+        far = (~near) & (lo_p < BIG)
+        a_max = jnp.maximum(a_max, jnp.where(near, hi_p, -BIG))
+        b_min = jnp.minimum(b_min, jnp.where(far, lo_p, BIG))
+        b_max = jnp.maximum(b_max, jnp.where(far, hi_p, -BIG))
+    return m, m_hi, a_max, b_min, b_max
+
+
+def _window_march_quad2(mosaic, eye, dirs, legs, any_hit, *,
+                        n_window: int, n_cells: int, margin_rel: float,
+                        margin_abs: float):
+    """Two-interval variant of `_window_march_quad`.
+
+    ``legs`` is ``((tA_lo, tA_hi), (tB_lo, tB_hi))`` — per-pixel interval
+    pairs from `_grouped_bracket_pools` (B may equal a phase-shifted A
+    where the neighborhood has a single distance cluster). Each leg gets
+    its own quadratic track fit and ``n_window // 2`` uniform steps; leg B
+    only resolves pixels leg A left unfound, and ONE analytic cell walk
+    refines whichever leg's bracket won (the walk runs on linearized
+    bracket endpoints, so legs can share it elementwise). Total table
+    gathers: ``n_window + 2`` window evals + ``n_cells`` walk rows — one
+    row more than the single-interval march at equal ``n_window``.
+    """
+    dx, dy, dz = dirs
+    e_norm = jnp.linalg.norm(eye)
+    a0 = e_norm - R0
+    hmax = mosaic.hmax + 1.0
+    r_shell = R0 + hmax
+    b = dx * eye[0] + dy * eye[1] + dz * eye[2]
+    c = (a0 - hmax) * (e_norm + r_shell)
+    c0 = a0 * (e_norm + R0)
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inside = c <= 0.0
+    t_enter = jnp.where(inside, 0.0, -b - sq)
+    t_exit = -b + sq
+    feasible = (disc > 0.0) & (t_exit > 0.0)
+    t0 = jnp.maximum(t_enter, 0.0)
+    t1 = jnp.where(feasible, jnp.minimum(t_exit, FAR), 0.0)
+
+    nw = max(n_window // 2, 2)
+
+    def quad(g0, gm, g1):
+        cq = 2.0 * g0 - 4.0 * gm + 2.0 * g1
+        bq = -3.0 * g0 + 4.0 * gm - g1
+        return g0, bq, cq
+
+    def at(q, u):
+        return q[0] + u * (q[1] + u * q[2])
+
+    def leg(t_min, t_max, active):
+        t_lo = jnp.clip(t_min * (1.0 - margin_rel) - margin_abs, t0, t1)
+        t_hi = jnp.clip(t_max * (1.0 + margin_rel) + margin_abs, t_lo, t1)
+        span = t_hi - t_lo
+        g0x, g0y, g0a = _track_raster(mosaic, eye, dirs, c0, b, t_lo)
+        gmx, gmy, gma = _track_raster(mosaic, eye, dirs, c0, b,
+                                      t_lo + 0.5 * span)
+        g1x, g1y, g1a = _track_raster(mosaic, eye, dirs, c0, b, t_hi)
+        qx = quad(g0x, gmx, g1x)
+        qy = quad(g0y, gmy, g1y)
+        qa = quad(g0a, gma, g1a)
+
+        def f_at(u):
+            return at(qa, u) - _cell_h(mosaic, at(qx, u), at(qy, u))
+
+        du = jnp.where(active, 1.0 / nw, 0.0)
+        f0 = f_at(jnp.zeros_like(t_lo))
+        hit0 = active & (f0 <= 0.0)
+
+        def body(k, state):
+            found, u_a, u_b, f_prev, f_a, f_b = state
+            u_k = du * k
+            f_k = f_at(u_k)
+            crossing = active & (~found) & (f_prev > 0.0) & (f_k <= 0.0)
+            u_a = jnp.where(crossing, u_k - du, u_a)
+            u_b = jnp.where(crossing, u_k, u_b)
+            f_a = jnp.where(crossing, f_prev, f_a)
+            f_b = jnp.where(crossing, f_k, f_b)
+            return found | crossing, u_a, u_b, f_k, f_a, f_b
+
+        zero = jnp.zeros_like(t_lo)
+        found, u_a, u_b, _, f_a, f_b = jax.lax.fori_loop(
+            1, nw + 1, body,
+            (hit0, zero, jnp.where(hit0, zero, jnp.ones_like(t_lo)),
+             f0, f0, f0),
+        )
+        ends = (
+            at(qx, u_a), at(qy, u_a), at(qa, u_a),
+            at(qx, u_b), at(qy, u_b), at(qa, u_b),
+        )
+        return found, hit0, u_a, u_b, f_a, f_b, ends, t_lo, span
+
+    (tA_lo, tA_hi), (tB_lo, tB_hi) = legs
+    fA, h0A, uaA, ubA, faA, fbA, endsA, loA, spA = leg(tA_lo, tA_hi, any_hit)
+    fB, h0B, uaB, ubB, faB, fbB, endsB, loB, spB = leg(tB_lo, tB_hi, any_hit)
+
+    # Earliest-crossing selection: both legs march in lockstep anyway, so
+    # running B unconditionally is free, and taking the earlier bracket
+    # start makes the merged (phase-shifted) mode equivalent to ONE
+    # uniform march over the union grid — strictly better ordering than
+    # "B only where A missed".
+    tA_start = loA + uaA * spA
+    tB_start = loB + uaB * spB
+    useA = fA & ((~fB) | (tA_start <= tB_start))
+    found = fA | fB
+    hit0 = jnp.where(useA, h0A, h0B)
+    u_a = jnp.where(useA, uaA, uaB)
+    u_b = jnp.where(useA, ubA, ubB)
+    f_a = jnp.where(useA, faA, faB)
+    f_b = jnp.where(useA, fbA, fbB)
+    ends = tuple(jnp.where(useA, ea, eb) for ea, eb in zip(endsA, endsB))
+    t_lo = jnp.where(useA, loA, loB)
+    span = jnp.where(useA, spA, spB)
+
+    active = found & (~hit0) & (u_b > u_a)
+    v = _cell_walk_core(mosaic, ends, f_a, f_b, active, n_cells=n_cells)
+    u_star = jnp.where(active, u_a + v * (u_b - u_a),
+                       jnp.where(hit0, 0.0, u_b))
+    return found, t_lo + u_star * span
+
+
 def _window_march(mosaic, eye, dirs, t_min, t_max, any_hit, *,
                   n_window: int, n_refine: int, margin_rel: float,
                   margin_abs: float):
@@ -840,7 +1009,10 @@ def march_guided_panorama(
     n_window: int = 6,
     supersample: float = 1.1,
     analytic_refine: bool = True,
-    n_cells: int = 2,
+    n_cells: int = 3,
+    split_brackets: bool = True,
+    margin_rel: float = 0.01,
+    margin_abs: float = 25.0,
     prepass_k_back: int = 1 << 20,
 ):
     """Exact march with t-ranges from an exact-panorama profile prepass.
@@ -857,11 +1029,22 @@ def march_guided_panorama(
     per-texel crossing-distance brackets; each perspective pixel takes the
     3x3 pooled bracket of its nearest prepass texel, then `_window_march`
     resolves the exact surface inside it with ``n_window`` + ``n_refine``
-    samples (~34 gathers/pixel vs 1024 for the uniform march; the tuned
-    (6, 2) window/cell budget matches (8, 3) to within 5e-4 hit flips and
-    the same worst-case distance tail at production scale
-    (scripts/probe_quad5.py) — sub-bracket window widths need few uniform
-    steps, and the analytic cell walk converges in <=2 cells).
+    samples (~34 gathers/pixel vs 1024 for the uniform march — sub-bracket
+    window widths need few uniform steps).
+
+    Default budget (``split_brackets=True, n_window=6, n_cells=3,
+    margin_abs=25``), gated against the WGSL rasterizer oracle at 800x450
+    (scripts/probe_parity_scale2.py) and against the conservative
+    nw=16/ss=1.5 march on production-scale TPU scenes
+    (scripts/probe_quad6.py): the split two-cluster pooling + tight
+    margin cut pixels deviating >2/255 from the oracle 2.5x (0.22% ->
+    0.089%; the dense-march floor is 0.044%) at ~equal TPU frame time
+    (85.6 vs 85.2 ms back-to-back). ``n_window=8, n_cells=3`` buys
+    0.083% at +33% time — the documented quality knob via ``guided_kw``.
+    The 25 m absolute margin suffices because the 3x3 pooled brackets
+    already absorb inter-texel angular deviation and the prepass bracket
+    ends are conservative per texel; 150 m was measured to be the
+    binding resolution loss on narrow silhouette intervals.
     """
     import math as _m
 
@@ -933,32 +1116,63 @@ def march_guided_panorama(
     # as do neighborhoods with no exact end anywhere.
     bound_only = pre["hit"] & (pre["d_hi"] >= 0.98 * FAR)
     d_hi = jnp.where(pre["hit"] & (~bound_only), pre["d_hi"], -BIG)
-    t_min_img = _pool3(d_lo, jnp.minimum)
-    t_max_img = _pool3(d_hi, jnp.maximum)
-    t_max_img = jnp.where(bound_only | (t_max_img <= 0.0), FAR, t_max_img)
 
-    # Nearest prepass texel per pixel; one packed row gather fetches both
+    use_quad = analytic_refine and getattr(mosaic, "has_cell_table", False)
+
+    # Nearest prepass texel per pixel; one packed row gather fetches the
     # bracket ends (row gathers cost the same as scalar gathers here).
     rel_az = (az - az_c + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
     gx = (rel_az + 0.5 * az_span) / az_span * wp - 0.5
     gy = (jnp.float32(half_win) - (el - el_c)) / jnp.float32(2.0 * half_win) * hp - 0.5
     ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, wp - 1)
     iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, hp - 1)
+
+    if use_quad and split_brackets:
+        # Two-cluster pooling (see `_grouped_bracket_pools`): the march
+        # spends its steps in two narrow intervals instead of one
+        # silhouette-spanning union.
+        m, m_hi, a_max, b_min, b_max = _grouped_bracket_pools(d_lo, d_hi)
+        uni_hi = jnp.maximum(a_max, b_max)
+        uni_hi = jnp.where(bound_only | (uni_hi <= 0.0), FAR, uni_hi)
+        b_max_eff = jnp.where(bound_only, FAR, b_max)
+        split = (a_max > 0.0) & (b_min < BIG) & (b_max_eff > b_min)
+        tA1 = jnp.where(split, a_max, uni_hi)
+        # Merged mode: leg B re-marches the union half a step out of phase
+        # with leg A, recovering the single-interval effective resolution.
+        nw_leg = max(n_window // 2, 2)
+        tB0 = jnp.where(
+            split,
+            jnp.maximum(b_min, a_max),
+            m + (uni_hi - m) * (0.5 / nw_leg),
+        )
+        tB1 = jnp.where(split, jnp.maximum(b_max_eff, tB0), uni_hi)
+        packed = jnp.stack([m, tA1, tB0, tB1], axis=-1).reshape(-1, 4)
+        rows = packed[iy * wp + ix]
+        legs = ((rows[..., 0], rows[..., 1]), (rows[..., 2], rows[..., 3]))
+        return _window_march_quad2(
+            mosaic, eye, dirs, legs, rows[..., 0] < BIG,
+            n_window=n_window, n_cells=n_cells,
+            margin_rel=margin_rel, margin_abs=margin_abs,
+        )
+
+    t_min_img = _pool3(d_lo, jnp.minimum)
+    t_max_img = _pool3(d_hi, jnp.maximum)
+    t_max_img = jnp.where(bound_only | (t_max_img <= 0.0), FAR, t_max_img)
     packed = jnp.stack([t_min_img, t_max_img], axis=-1).reshape(-1, 2)
     rows = packed[iy * wp + ix]
     t_min = rows[..., 0]
     t_max = rows[..., 1]
 
-    if analytic_refine and getattr(mosaic, "has_cell_table", False):
+    if use_quad:
         return _window_march_quad(
             mosaic, eye, dirs, t_min, t_max, t_min < BIG,
             n_window=n_window, n_cells=n_cells,
-            margin_rel=0.01, margin_abs=150.0,
+            margin_rel=margin_rel, margin_abs=margin_abs,
         )
     return _window_march(
         mosaic, eye, dirs, t_min, t_max, t_min < BIG,
         n_window=n_window, n_refine=n_refine,
-        margin_rel=0.01, margin_abs=150.0,
+        margin_rel=margin_rel, margin_abs=margin_abs,
     )
 
 
