@@ -1,0 +1,56 @@
+"""Parity regression at production-class frame size.
+
+The suite's main oracle gate (`test_parity_independent.py`) runs at
+160x100, where the silhouette tail measured a single fill-rule pixel —
+too small to see the guided march's bracket-pooling behavior. Late round
+3 measured the tail at 800x450 (0.22% of pixels outside 2/255 with the
+then-default union pooling; see PARITY.md "Parity at production frame
+size") and shipped split-bracket pooling + a 25 m margin to cut it to
+0.089%. This test pins that at a 400x225 / denser-scene operating point
+(~50 s of CPU, vs ~3 min at full size): measured 0.139% guided / 0.079%
+unguided (the marcher-vs-rasterizer fill-rule floor); the pre-fix union
+pooling measured ~2x worse. Gates at ~1.8x the measured values so normal
+f32 jitter passes but a pooling/margin regression fails.
+"""
+
+import dataclasses
+import math
+
+import numpy as np
+
+from tests.helpers import east_at, small_scene, yaw_towards
+from tests.raster_oracle2 import rasterize2
+from topo_renderer_tpu.models.camera import ViewMode
+from topo_renderer_tpu.ops.raycast import render_perspective
+
+W, H = 400, 225
+
+
+def test_parity_tail_at_scale():
+    mosaic, cam, _tile = small_scene(n=73, span_deg=0.06, height_above=500.0)
+    cam = dataclasses.replace(
+        cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.1,
+        view_mode=ViewMode.NORMALS,
+    )
+    vp = np.asarray(cam.build_view_proj_matrix(float(W), float(H)), np.float64)
+    c2, d2 = rasterize2(
+        np.asarray(mosaic.heights), np.asarray(mosaic.normals), (0.0, 0.0),
+        np.asarray(mosaic.model_point), np.asarray(mosaic.pixel_scale), vp,
+        np.asarray(cam.eye, np.float64),
+        np.asarray(cam.sun_angle.to_vec3(), np.float64), W, H, view_mode=1,
+    )
+    assert (d2 < 1.0).mean() > 0.5  # scene sanity: mostly terrain
+
+    for guided, gate in ((True, 0.0025), (False, 0.0015)):
+        out = render_perspective(
+            mosaic, cam, width=W, height=H, n_steps=1024, n_refine=26,
+            quantize_rt=False, apply_postprocess=False,
+            guided=guided, fov_hint=math.radians(45.0),
+        )
+        err = np.abs(np.asarray(out["color"]) - c2).max(axis=-1)
+        frac_bad = (err > 2.0 / 255.0).mean()
+        assert frac_bad < gate, (
+            f"guided={guided}: {frac_bad:.3%} pixels differ by >2/255 "
+            f"(gate {gate:.2%})"
+        )
+        assert np.median(err) < 1.0 / 1020.0
