@@ -68,6 +68,6 @@ def run(label, guided=True, **kw):
     return bad
 
 
-run("SPLIT nw=6 nc=2 m25 ", guided=True, margin_abs=25.0)
-run("SPLIT nw=6 nc=3 m25 ", guided=True, n_cells=3, margin_abs=25.0)
-run("SPLIT nw=6 nc=4 m25 ", guided=True, n_cells=4, margin_abs=25.0)
+run("SPLIT nw=32 nc=4 m25 ", guided=True, n_window=32, n_cells=4, margin_abs=25.0)
+run("nosplt nw=32 nc=4 m25 ", guided=True, split_brackets=False, n_window=32, n_cells=4, margin_abs=25.0)
+run("nosplt nw=64 nc=6 m25 ", guided=True, split_brackets=False, n_window=64, n_cells=6, margin_abs=25.0)
