@@ -1,8 +1,13 @@
-"""Classify the guided-march parity tail at 800x450: hit flips vs
-wrong-distance hits, and its sensitivity to prepass supersample.
+"""Classify the guided-march parity tail at 800x450 against the WGSL
+rasterizer oracle: hit flips vs wrong-distance hits, across the shipped
+knob ladder (dense floor / default split march / nw=8 quality knob /
+saturated / the pre-split union pooling). CPU-only (hard-sets
+JAX_PLATFORMS, because the profile exports =axon).
 
-Follow-up to probe_parity_scale.py which measured guided frac>2/255 =
-0.18% at scale (vs 0.036% unguided). CPU-only.
+History: the round-3 sweep over supersample/margins/window counts that
+selected the defaults lives in git (this file's earlier revisions) and
+in NOTES.md; measured end state: union m150 0.22% -> split m25 0.089%,
+floor 0.044%, saturated split 0.048%.
 """
 
 import dataclasses
@@ -68,6 +73,8 @@ def run(label, guided=True, **kw):
     return bad
 
 
-run("SPLIT nw=32 nc=4 m25 ", guided=True, n_window=32, n_cells=4, margin_abs=25.0)
-run("nosplt nw=32 nc=4 m25 ", guided=True, split_brackets=False, n_window=32, n_cells=4, margin_abs=25.0)
-run("nosplt nw=64 nc=6 m25 ", guided=True, split_brackets=False, n_window=64, n_cells=6, margin_abs=25.0)
+run("unguided (floor)    ", guided=False)
+run("default             ", guided=True)
+run("quality knob nw=8   ", guided=True, n_window=8, n_cells=3)
+run("saturated nw=32     ", guided=True, n_window=32, n_cells=4)
+run("old union m150      ", guided=True, split_brackets=False, n_cells=2, margin_abs=150.0)
