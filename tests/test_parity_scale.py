@@ -54,3 +54,43 @@ def test_parity_tail_at_scale():
             f"(gate {gate:.2%})"
         )
         assert np.median(err) < 1.0 / 1020.0
+
+
+def test_parity_steep_pitch_characterized():
+    """Pin the characterized steep-pitch / patch-edge weakness.
+
+    A steep look-down at a small patch (rays grazing the mosaic's far
+    edge) fattens the prepass's far-silhouette brackets and the guided
+    tail grows to ~1% at this operating point (~2% at 800x450 — see
+    PARITY.md "Known scoped weakness"); the dense march stays at the
+    fill-rule floor. Gates at ~1.7x the measured values: a prepass or
+    pooling regression that doubles the tail fails here, and so does a
+    fix that breaks the floor. Round 4 wants the guided gate pushed
+    toward the floor (tighten the exact-profile brackets prepass-side).
+    """
+    mosaic, cam, _tile = small_scene(n=73, span_deg=0.06, height_above=1200.0)
+    cam = dataclasses.replace(
+        cam, yaw=yaw_towards(cam, east_at(cam)) + 0.9, pitch=-0.22,
+        view_mode=ViewMode.NORMALS,
+    )
+    vp = np.asarray(cam.build_view_proj_matrix(float(W), float(H)), np.float64)
+    c2, d2 = rasterize2(
+        np.asarray(mosaic.heights), np.asarray(mosaic.normals), (0.0, 0.0),
+        np.asarray(mosaic.model_point), np.asarray(mosaic.pixel_scale), vp,
+        np.asarray(cam.eye, np.float64),
+        np.asarray(cam.sun_angle.to_vec3(), np.float64), W, H, view_mode=1,
+    )
+    assert 0.02 < (d2 < 1.0).mean() < 0.6  # steep strip, mostly sky
+
+    for guided, gate in ((True, 0.02), (False, 0.003)):
+        out = render_perspective(
+            mosaic, cam, width=W, height=H, n_steps=1024, n_refine=26,
+            quantize_rt=False, apply_postprocess=False,
+            guided=guided, fov_hint=math.radians(45.0),
+        )
+        err = np.abs(np.asarray(out["color"]) - c2).max(axis=-1)
+        frac_bad = (err > 2.0 / 255.0).mean()
+        assert frac_bad < gate, (
+            f"guided={guided}: {frac_bad:.3%} pixels differ by >2/255 "
+            f"(gate {gate:.2%})"
+        )
