@@ -69,10 +69,9 @@ def main():
 
     # (label, nw, ss, nc, split, marg)
     variants = [
-        ("cur default nw=6 nc=2 nosplit m150", 6, 1.1, 2, False, 150.0),
-        ("SPLIT nw=6 nc=2 m25", 6, 1.1, 2, True, 25.0),
-        ("SPLIT nw=8 nc=3 m25", 8, 1.1, 3, True, 25.0),
-        ("nosplit nw=6 nc=2 m25", 6, 1.1, 2, False, 25.0),
+        ("pre-split default nw=6 nc=2 m150", 6, 1.1, 2, False, 150.0),
+        ("SHIPPED default nw=6 nc=3 m25", 6, 1.1, 3, True, 25.0),
+        ("quality knob nw=8 nc=3 m25", 8, 1.1, 3, True, 25.0),
     ]
 
     for ci, cam in enumerate(cams):
@@ -97,7 +96,7 @@ def main():
             lambda nw=nw, ss=ss, nc=nc, sp=sp, mg=mg: march_only(
                 mosaic, cam, nw, ss, nc, sp, mg)[1].sum(),
         )
-    bench("march cur default (re-run)",
+    bench("march pre-split default (re-run)",
           lambda: march_only(mosaic, cam, 6, 1.1, 2, False, 150.0)[1].sum())
     print("done", flush=True)
 

