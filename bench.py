@@ -35,12 +35,42 @@ TARGET_MS = 16.0  # config 4
 TARGET_PANOS_PER_S = 256.0  # config 5
 
 
-def _sustained_ms(run, reps=20):
+def _sustained_stats(run, reps=20, chunks=4):
+    """Sustained pipelined wall-clock with dispersion.
+
+    Dispatches ``reps // chunks`` iterations back-to-back per chunk (so
+    pipelining inside a chunk matches production serving) and reports the
+    chunk means: tunnel sessions drift ±30-50% between rounds (NOTES.md), so
+    the driver needs min/stddev to tell session drift from regressions
+    (round-3 verdict item 7)."""
     jax.block_until_ready(run())  # compile
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(reps)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / reps * 1e3
+    per = max(1, reps // chunks)
+    samples = []
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(per)]
+        jax.block_until_ready(outs)
+        samples.append((time.perf_counter() - t0) / per * 1e3)
+    mean = sum(samples) / len(samples)
+    var = sum((s - mean) ** 2 for s in samples) / len(samples)
+    return {
+        "mean": mean,
+        "min": min(samples),
+        "stddev": var ** 0.5,
+        "reps": per * chunks,
+    }
+
+
+def _stats_field(st):
+    return {
+        "min": round(st["min"], 2),
+        "stddev": round(st["stddev"], 2),
+        "reps": st["reps"],
+    }
+
+
+def _sustained_ms(run, reps=20):
+    return _sustained_stats(run, reps=reps)["mean"]
 
 
 def main():
@@ -79,7 +109,8 @@ def main():
             mosaic, eye, spec4, sun, fog="atmosphere", windows=win
         )
 
-    ms4 = _sustained_ms(lambda: run4()["color"])
+    st4 = _sustained_stats(lambda: run4()["color"])
+    ms4 = st4["mean"]
 
     # Per-stage breakdown (round-2 verdict item 9): extraction alone, then
     # extraction + render; the render program's internal split
@@ -100,6 +131,7 @@ def main():
             "unit": "ms",
             "target": TARGET_MS,
             "vs_baseline": round(TARGET_MS / ms4, 4),
+            "stats": _stats_field(st4),
             "stages": stages4,
         }
     )
@@ -113,7 +145,8 @@ def main():
             mosaic, eye, spec2, sun, fog="distance", windows=win
         )["color"]
 
-    ms2 = _sustained_ms(run2)
+    st2 = _sustained_stats(run2)
+    ms2 = st2["mean"]
     configs.append(
         {
             "config": 2,
@@ -122,6 +155,7 @@ def main():
             "unit": "ms",
             "target": None,
             "vs_baseline": None,
+            "stats": _stats_field(st2),
         }
     )
 
@@ -175,18 +209,22 @@ def main():
     out, packed = frame3()
     jax.block_until_ready(packed)
     n_laid = len(layout_from_packed(np.asarray(packed)))
-    reps3 = 20
-    t0 = time.perf_counter()
-    prev = None
-    for _ in range(reps3):
-        cur = frame3()  # dispatch next frame before pulling the previous
-        cur[1].copy_to_host_async()  # overlap the packed pull with render
-        if prev is not None:
-            n_laid = len(layout_from_packed(np.asarray(prev[1])))
-        prev = cur
-    n_laid = len(layout_from_packed(np.asarray(prev[1])))
-    jax.block_until_ready(prev[0]["color"])
-    ms3 = (time.perf_counter() - t0) / reps3 * 1e3
+    samples3 = []
+    for _chunk in range(4):
+        reps3 = 5
+        t0 = time.perf_counter()
+        prev = None
+        for _ in range(reps3):
+            cur = frame3()  # dispatch next frame before pulling the previous
+            cur[1].copy_to_host_async()  # overlap the packed pull with render
+            if prev is not None:
+                n_laid = len(layout_from_packed(np.asarray(prev[1])))
+            prev = cur
+        n_laid = len(layout_from_packed(np.asarray(prev[1])))
+        jax.block_until_ready(prev[0]["color"])
+        samples3.append((time.perf_counter() - t0) / reps3 * 1e3)
+    ms3 = sum(samples3) / len(samples3)
+    var3 = sum((s - ms3) ** 2 for s in samples3) / len(samples3)
     configs.append(
         {
             "config": 3,
@@ -198,6 +236,11 @@ def main():
             "unit": "ms",
             "target": None,
             "vs_baseline": None,
+            "stats": {
+                "min": round(min(samples3), 2),
+                "stddev": round(var3 ** 0.5, 2),
+                "reps": 20,
+            },
             "stages": {"label_overhead_ms": round(max(ms3 - ms4, 0.0), 2)},
         }
     )
@@ -223,9 +266,13 @@ def main():
         return render_batch_scan(mosaic, eyes_arr, suns5, spec5, fog="atmosphere")
 
     jax.block_until_ready(run5())  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(run5())
-    panos_per_s = B / (time.perf_counter() - t0)
+    samples5 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run5())
+        samples5.append(B / (time.perf_counter() - t0))
+    panos_per_s = sum(samples5) / len(samples5)
+    var5 = sum((s - panos_per_s) ** 2 for s in samples5) / len(samples5)
     configs.append(
         {
             "config": 5,
@@ -234,6 +281,11 @@ def main():
             "unit": "panoramas/s",
             "target": TARGET_PANOS_PER_S,
             "vs_baseline": round(panos_per_s / TARGET_PANOS_PER_S, 4),
+            "stats": {
+                "min": round(min(samples5), 1),
+                "stddev": round(var5 ** 0.5, 1),
+                "reps": 3 * B,
+            },
         }
     )
 
@@ -252,27 +304,20 @@ def main():
             guided=True, fov_hint=fov,
         )["color"]
 
-    ms1 = _sustained_ms(run1, reps=10)
+    st1 = _sustained_stats(run1, reps=12)
+    ms1 = st1["mean"]
 
     # Stage split: the prepass (profile gathers + crossing search) vs the
-    # per-pixel windowed march (the remainder).
-    aspect = 800 / 450
-    half_diag = min(
-        math.atan(math.tan(0.5 * fov) * math.sqrt(1 + aspect * aspect)),
-        0.49 * math.pi,
-    )
-    half_win = min(1.03 * half_diag + 0.01, 0.49 * math.pi)
-    az_span = min(2 * math.pi, 2 * half_win / max(math.cos(half_win), 0.3))
-    px_per_rad = 1.1 * 450 / fov  # march_guided_panorama's default supersample
-    wp = max(256, min(int(math.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
-    hp = max(64, min(int(math.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
-    spec_pre = PanoramaSpec(
-        width=wp, height=hp, n_steps=896, n_refine=0,  # march's prepass cap
-        azimuth_start=-0.5 * az_span, azimuth_span=az_span,
-        elev_min=-half_win, elev_max=half_win,
+    # per-pixel windowed march (the remainder). The prepass spec comes from
+    # the march itself (`guided_prepass_spec`) so a knob change cannot
+    # silently skew the attribution (round-3 verdict item 8).
+    from topo_renderer_tpu.ops.raycast import guided_prepass_spec
+
+    spec_pre, _, _ = guided_prepass_spec(
+        height=450, fov_hint=fov, aspect=800 / 450, n_steps=1024
     )
     ms1_pre = _sustained_ms(
-        lambda: panorama_crossing_prepass(mosaic, eye, spec_pre)["d_lo"], reps=10
+        lambda: panorama_crossing_prepass(mosaic, eye, spec_pre)["d_lo"], reps=12
     )
     configs.append(
         {
@@ -282,6 +327,7 @@ def main():
             "unit": "ms",
             "target": None,
             "vs_baseline": None,
+            "stats": _stats_field(st1),
             "stages": {
                 "prepass_ms": round(ms1_pre, 2),
                 "march_ms": round(ms1 - ms1_pre, 2),
@@ -300,20 +346,24 @@ def main():
         return shading.to_srgb8_image(out["color"])
 
     jax.block_until_ready(frame6())
-    reps6 = 20
-    t0 = time.perf_counter()
-    prev = None
-    for _ in range(reps6):
-        cur = frame6()
-        cur.copy_to_host_async()  # start the u8 transfer behind the render
-        if prev is not None:
-            np.asarray(prev)  # pull frame N-1 while N renders
-        prev = cur
-    np.asarray(prev)
-    ms6 = (time.perf_counter() - t0) / reps6 * 1e3
+    samples6 = []
+    for _chunk in range(4):
+        reps6 = 5
+        t0 = time.perf_counter()
+        prev = None
+        for _ in range(reps6):
+            cur = frame6()
+            cur.copy_to_host_async()  # start the u8 transfer behind the render
+            if prev is not None:
+                np.asarray(prev)  # pull frame N-1 while N renders
+            prev = cur
+        np.asarray(prev)
+        samples6.append((time.perf_counter() - t0) / reps6 * 1e3)
+    ms6 = sum(samples6) / len(samples6)
+    var6 = sum((s - ms6) ** 2 for s in samples6) / len(samples6)
     # Device-only sustained cost (no host pull): what co-located serving
     # pays per frame — the gap to ms6 is pure tunnel/host-transfer RTT.
-    ms6_dev = _sustained_ms(frame6, reps=reps6)
+    ms6_dev = _sustained_ms(frame6, reps=20)
     configs.append(
         {
             "config": 6,
@@ -323,6 +373,11 @@ def main():
             "target": None,
             "vs_baseline": None,
             "fps": round(1000.0 / ms6, 1),
+            "stats": {
+                "min": round(min(samples6), 2),
+                "stddev": round(var6 ** 0.5, 2),
+                "reps": 20,
+            },
             "stages": {
                 "device_ms": round(ms6_dev, 2),
                 "transport_ms": round(max(ms6 - ms6_dev, 0.0), 2),

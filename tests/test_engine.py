@@ -172,3 +172,38 @@ def test_engine_render_batch_clipmap_uses_scan():
     )
     diff = np.abs(batch[0].astype(np.float32) - want)
     assert diff.max() <= 1.5 / 255.0
+
+
+def test_layout_memo_lru_alternating_poses():
+    """A/B visibility alternation (two camera poses toggled every frame)
+    stays memoized: the greedy layout runs once per distinct packed result,
+    not once per frame (round-3 verdict item 10 — the single-slot memo
+    evicted on every alternation)."""
+    engine, cam, tile = build_engine()
+    entries, pos, valid = engine._padded_peaks()
+    P = int(pos.shape[0])
+    packed_a = np.zeros((3, P), np.int32)
+    packed_a[:, 0] = (1, 10, 12)
+    packed_b = np.zeros((3, P), np.int32)
+    packed_b[:, 0] = (1, 40, 30)
+    packed_b[:, 1] = (1, 80, 50)
+
+    calls = []
+    orig = engine._label_pass_packed_uncached
+
+    def counting(entries_, packed_):
+        calls.append(1)
+        return orig(entries_, packed_)
+
+    engine._label_pass_packed_uncached = counting
+    for _ in range(4):
+        vis_a, lay_a = engine._label_pass_packed(entries, packed_a)
+        vis_b, lay_b = engine._label_pass_packed(entries, packed_b)
+    assert len(calls) == 2, f"layout ran {len(calls)} times for 2 poses"
+    assert len(lay_a) == 1 and len(lay_b) == 2
+    # Eviction still bounded.
+    for k in range(engine._LAYOUT_MEMO_CAP + 3):
+        p = np.zeros((3, P), np.int32)
+        p[:, 0] = (1, 100 + k, 9)
+        engine._label_pass_packed(entries, p)
+    assert len(engine._layout_memo) <= engine._LAYOUT_MEMO_CAP

@@ -1019,9 +1019,48 @@ def panorama_crossing_prepass(
         return jnp.sqrt(x * x + y * y)
 
     d_lo = jnp.where(hit, ray_dist(sig_lo), FAR)
-    # Upper bracket from the exact profile where it crossed; bound-only
-    # pixels march to the feasible interval's end (the caller clips FAR).
-    d_hi = jnp.where(hit_exact, jnp.maximum(ray_dist(sig_hi), d_lo), FAR)
+    # Upper bracket from the exact profile where it crossed. BOUND-ONLY
+    # texels (the dilated max bound crossed but the exact profile never
+    # did — grazing rays) used to march to FAR, which both starved their
+    # own window resolution and blew up every 3x3 neighbor's pooled
+    # bracket (round-3 steep-pitch tail, PARITY.md "Known scoped
+    # weakness"). Two zero-gather facts bound their crossing finitely:
+    #
+    #   * the ray leaves the terrain shell: any crossing needs ray
+    #     altitude <= hmax, so t <= the far root of the shell quadratic
+    #     (per texel row — elevation is the row coordinate);
+    #   * the ray leaves the mosaic: the profile's validity masks give
+    #     each column's LAST in-mosaic sample (exact OR dilated-bound —
+    #     the bound dilates a little past the raw edge); no renderable
+    #     terrain exists beyond sigma(k_last + 1). This is what collapses
+    #     the steep-pitch patch-edge scene: rays grazing off the patch's
+    #     far edge get bracketed to the edge instead of to 500 km.
+    if e_bound is not None:
+        hm = mosaic.hmax + 1.0
+        e_norm = a0 + R0
+        b_row = e_norm * jnp.sin(e_pix)  # [H, 1]; sin(el) = ray . radial
+        c_shell = (a0 - hm) * (e_norm + R0 + hm)
+        disc = b_row * b_row - c_shell
+        shell_exit = jnp.where(
+            disc > 0.0, -b_row + jnp.sqrt(jnp.maximum(disc, 0.0)), FAR
+        )
+        NEGTHR = jnp.float32(-0.9e30)
+        valid_any = (e_prof > NEGTHR) | (e_bound > NEGTHR)  # [N, W]
+        kf = jnp.arange(N, dtype=jnp.float32)[:, None]
+        k_last = jnp.max(jnp.where(valid_any, kf, -1.0), axis=0)  # [W]
+        col_exit = jnp.where(
+            ((k_last >= 0.0) & (k_last < N - 1))[None, :],
+            ray_dist(sigma_of(jnp.minimum(k_last + 1.0, N - 1.0))[None, :]),
+            FAR,
+        )
+        d_hi_bound = jnp.minimum(jnp.minimum(shell_exit, col_exit), FAR)
+        d_hi = jnp.where(
+            hit_exact,
+            jnp.maximum(ray_dist(sig_hi), d_lo),
+            jnp.maximum(d_hi_bound, d_lo),
+        )
+    else:
+        d_hi = jnp.where(hit_exact, jnp.maximum(ray_dist(sig_hi), d_lo), FAR)
     if col_shuffle:
         def ush(a):
             return a.reshape(H, W // 8, 8).transpose(0, 2, 1).reshape(H, W)

@@ -996,6 +996,47 @@ def march_guided(
     )
 
 
+def guided_prepass_spec(
+    *,
+    height: int,
+    fov_hint: float,
+    aspect: float,
+    n_steps: int = 1024,
+    supersample: float = 1.1,
+):
+    """The guided march's ACTUAL prepass geometry, exported.
+
+    Returns ``(spec_pre, half_win, az_span)`` — the `PanoramaSpec` that
+    `march_guided_panorama` hands to `panorama_crossing_prepass`, plus the
+    angular window it derives it from. `bench.py` uses this to time the
+    prepass stage with the real spec instead of re-deriving the sizing math
+    (round-3 verdict: a knob change silently skewed the stage attribution).
+    """
+    import math as _m
+
+    from topo_renderer_tpu.ops.panorama import PanoramaSpec
+
+    half_diag = min(
+        _m.atan(_m.tan(0.5 * float(fov_hint)) * _m.sqrt(1.0 + aspect * aspect)),
+        0.49 * _m.pi,
+    )
+    half_win = min(1.03 * half_diag + 0.01, 0.49 * _m.pi)
+    az_span = min(2.0 * _m.pi, 2.0 * half_win / max(_m.cos(half_win), 0.3))
+    px_per_rad = supersample * height / float(fov_hint)
+    wp = max(256, min(int(_m.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
+    hp = max(64, min(int(_m.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
+
+    # 896 prepass steps measure quality-equal to 1024 on the gated scenes
+    # (the conservative bound owns the hit flag; d_hi moves by <=14% of a
+    # step) and shave ~12% of the prepass gathers.
+    spec_pre = PanoramaSpec(
+        width=wp, height=hp, n_steps=min(n_steps, 896), n_refine=0,
+        azimuth_start=-0.5 * az_span, azimuth_span=az_span,
+        elev_min=-half_win, elev_max=half_win,
+    )
+    return spec_pre, half_win, az_span
+
+
 def march_guided_panorama(
     mosaic,
     eye,
@@ -1049,12 +1090,7 @@ def march_guided_panorama(
     measured to be the binding resolution loss on narrow silhouette
     intervals.
     """
-    import math as _m
-
-    from topo_renderer_tpu.ops.panorama import (
-        PanoramaSpec,
-        panorama_crossing_prepass,
-    )
+    from topo_renderer_tpu.ops.panorama import panorama_crossing_prepass
 
     eye = jnp.asarray(eye, jnp.float32)
     if not isinstance(dirs, tuple):
@@ -1084,25 +1120,13 @@ def march_guided_panorama(
     )
     el_c = jnp.arcsin(jnp.clip(fwd[0] * ux + fwd[1] * uy + fwd[2] * uz, -1.0, 1.0))
 
-    # Static angular window from the fov bound (diagonal half-angle+margin).
-    half_diag = min(
-        _m.atan(_m.tan(0.5 * float(fov_hint)) * _m.sqrt(1.0 + aspect * aspect)),
-        0.49 * _m.pi,
+    # Static angular window from the fov bound (diagonal half-angle+margin);
+    # shared with the bench's stage instrumentation (`guided_prepass_spec`).
+    spec_pre, half_win, az_span = guided_prepass_spec(
+        height=H, fov_hint=fov_hint, aspect=aspect,
+        n_steps=n_steps, supersample=supersample,
     )
-    half_win = min(1.03 * half_diag + 0.01, 0.49 * _m.pi)
-    az_span = min(2.0 * _m.pi, 2.0 * half_win / max(_m.cos(half_win), 0.3))
-    px_per_rad = supersample * H / float(fov_hint)
-    wp = max(256, min(int(_m.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
-    hp = max(64, min(int(_m.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
-
-    # 896 prepass steps measure quality-equal to 1024 on the gated scenes
-    # (the conservative bound owns the hit flag; d_hi moves by <=14% of a
-    # step) and shave ~12% of the prepass gathers.
-    spec_pre = PanoramaSpec(
-        width=wp, height=hp, n_steps=min(n_steps, 896), n_refine=0,
-        azimuth_start=-0.5 * az_span, azimuth_span=az_span,
-        elev_min=-half_win, elev_max=half_win,
-    )
+    wp, hp = spec_pre.width, spec_pre.height
     pre = panorama_crossing_prepass(
         mosaic, eye, spec_pre, azimuth_offset=az_c, elev_offset=el_c,
         k_back=prepass_k_back,
