@@ -12,11 +12,12 @@ BENCH_r{N}.json can catch regressions outside the headline mode:
      (guided quad-track march; stage breakdown under "stages")
   2. 2048x512 360-degree panorama with distance fog ("correct + fast")
   3. peak-label pass through the PRODUCTION fused frame+labels program
-     (one dispatch; sustained 1-deep pipelined; host layout memoized)
+     (one dispatch; the packed visibility rides INSIDE the frame's wire
+     pull — zero extra transfers; host layout memoized)
   4. the headline atmospheric panorama (+ per-stage breakdown)
   5. batched throughput: 256 viewpoints, 1024x256 panoramas (>= 256/s)
   6. interactive 800x450 fast frame, sustained pipelined (server-side
-     frame loop: render + sRGB8 + host pull of the u8 frame)
+     frame loop: render + yuv420 wire encode + ONE host pull per frame)
 
 Terrain is generated on device (12001^2 texels — ~100 COP-90 tiles of
 3-arcsec data, ~5 GB of tables) to keep the benchmark independent of
@@ -80,7 +81,6 @@ def main():
     from perf_probe import eye_at, synthetic_mosaic_device
 
     from topo_renderer_tpu.models.camera import Camera
-    from topo_renderer_tpu.ops.labels import peak_visibility_panorama
     from topo_renderer_tpu.ops.panorama import (
         PanoramaSpec,
         extract_clipmap_windows,
@@ -159,14 +159,7 @@ def main():
         }
     )
 
-    # ---- config 3: label pass through the PRODUCTION fused program ----
-    # 512 synthetic peaks scattered around the viewpoint. The engine renders
-    # frame + label visibility in ONE program (`render/engine.py::
-    # _panorama_with_labels`); the bench measures that path: fused program,
-    # packed [3, P] transfer, memoized host greedy-row layout — sustained
-    # with 1-deep pipelining like the production frame loop.
-    from topo_renderer_tpu.render.engine import _panorama_with_labels
-
+    # ---- peak fixtures (config 3, 5) ----
     rng = np.random.default_rng(7)
     P = 512
     lat = 47.0 + rng.uniform(-0.9, 0.9, P)
@@ -199,51 +192,9 @@ def main():
         _layout_memo[key] = out
         return out
 
-    def frame3():
-        win = extract_clipmap_windows(mosaic, eye, spec4)
-        return _panorama_with_labels(
-            mosaic, eye, spec4, sun, jnp.int32(0), pos, valid, win,
-            fog="atmosphere", pixelize_n=None, tolerance_rel=0.05,
-        )
-
-    out, packed = frame3()
-    jax.block_until_ready(packed)
-    n_laid = len(layout_from_packed(np.asarray(packed)))
-    samples3 = []
-    for _chunk in range(4):
-        reps3 = 5
-        t0 = time.perf_counter()
-        prev = None
-        for _ in range(reps3):
-            cur = frame3()  # dispatch next frame before pulling the previous
-            cur[1].copy_to_host_async()  # overlap the packed pull with render
-            if prev is not None:
-                n_laid = len(layout_from_packed(np.asarray(prev[1])))
-            prev = cur
-        n_laid = len(layout_from_packed(np.asarray(prev[1])))
-        jax.block_until_ready(prev[0]["color"])
-        samples3.append((time.perf_counter() - t0) / reps3 * 1e3)
-    ms3 = sum(samples3) / len(samples3)
-    var3 = sum((s - ms3) ** 2 for s in samples3) / len(samples3)
-    configs.append(
-        {
-            "config": 3,
-            "metric": (
-                f"ms per fused frame+label pass (512 peaks -> {n_laid} laid"
-                " out, 1-deep pipeline)"
-            ),
-            "value": round(ms3, 2),
-            "unit": "ms",
-            "target": None,
-            "vs_baseline": None,
-            "stats": {
-                "min": round(min(samples3), 2),
-                "stddev": round(var3 ** 0.5, 2),
-                "reps": 20,
-            },
-            "stages": {"label_overhead_ms": round(max(ms3 - ms4, 0.0), 2)},
-        }
-    )
+    # (config 3 is measured AFTER config 6: its label_overhead stage is the
+    # delta between the fused frame+labels wire loop and config 6's
+    # label-free wire loop at the same viewport — apples to apples.)
 
     # ---- config 5: batched throughput, 256 viewpoints at 1024x256 ----
     spec5 = PanoramaSpec.fast(width=1024, height=256, n_steps=512)
@@ -335,53 +286,115 @@ def main():
         }
     )
 
-    # ---- config 6: interactive fast frame, sustained pipelined ----
-    from topo_renderer_tpu.ops import shading
-    from topo_renderer_tpu.ops.raycast import render_perspective_fast
+    # ---- config 6: interactive fast frame, sustained pipelined wire pull ----
+    # The production web frame loop (`frontends/web/server.py::frame`):
+    # device renders + encodes the one-transfer wire vector
+    # (`render/transport.py`, yuv420 = half the raw-u8 bytes at
+    # JPEG-equivalent quality), the host pulls ONE buffer per frame
+    # (1-deep pipelined) and decodes it outside the render lock.
+    from topo_renderer_tpu.render import transport
+    from topo_renderer_tpu.render.engine import _fast_frame_with_labels, _frame_wire
 
-    def frame6():
-        out = render_perspective_fast(
-            mosaic, cam, width=800, height=450, n_steps=512, fov_hint=fov,
+    W6, H6 = 800, 450
+
+    def wire_loop(frame_fn, consume, reps=5, chunks=4):
+        jax.block_until_ready(frame_fn())  # compile
+        samples = []
+        for _chunk in range(chunks):
+            t0 = time.perf_counter()
+            prev = None
+            for _ in range(reps):
+                cur = frame_fn()
+                cur.copy_to_host_async()  # overlap the pull with the render
+                if prev is not None:
+                    consume(np.asarray(prev))
+                prev = cur
+            consume(np.asarray(prev))
+            samples.append((time.perf_counter() - t0) / reps * 1e3)
+        mean = sum(samples) / len(samples)
+        var = sum((s - mean) ** 2 for s in samples) / len(samples)
+        return {
+            "mean": mean, "min": min(samples), "stddev": var ** 0.5,
+            "reps": reps * chunks,
+        }
+
+    def frame6(mode="yuv420"):
+        _out, wirebuf = _frame_wire(
+            mosaic, cam, width=W6, height=H6, n_steps=512, n_refine=0,
+            pixelize_n=None, fov_hint=fov, fast=True, guided=False,
+            wire_mode=mode,
         )
-        return shading.to_srgb8_image(out["color"])
+        return wirebuf
 
-    jax.block_until_ready(frame6())
-    samples6 = []
-    for _chunk in range(4):
-        reps6 = 5
-        t0 = time.perf_counter()
-        prev = None
-        for _ in range(reps6):
-            cur = frame6()
-            cur.copy_to_host_async()  # start the u8 transfer behind the render
-            if prev is not None:
-                np.asarray(prev)  # pull frame N-1 while N renders
-            prev = cur
-        np.asarray(prev)
-        samples6.append((time.perf_counter() - t0) / reps6 * 1e3)
-    ms6 = sum(samples6) / len(samples6)
-    var6 = sum((s - ms6) ** 2 for s in samples6) / len(samples6)
+    st6 = wire_loop(
+        frame6, lambda b: transport.decode_pixels(b, H6, W6, mode="yuv420")
+    )
+    ms6 = st6["mean"]
+    st6_raw = wire_loop(
+        lambda: frame6("rgb888"),
+        lambda b: transport.decode_pixels(b, H6, W6, mode="rgb888"),
+    )
     # Device-only sustained cost (no host pull): what co-located serving
     # pays per frame — the gap to ms6 is pure tunnel/host-transfer RTT.
     ms6_dev = _sustained_ms(frame6, reps=20)
     configs.append(
         {
             "config": 6,
-            "metric": "interactive 800x450 fast frame incl. u8 host pull (1-deep pipeline)",
+            "metric": (
+                "interactive 800x450 fast frame incl. one-transfer host pull"
+                " (yuv420 wire, 1-deep pipeline)"
+            ),
             "value": round(ms6, 2),
             "unit": "ms",
             "target": None,
             "vs_baseline": None,
             "fps": round(1000.0 / ms6, 1),
-            "stats": {
-                "min": round(min(samples6), 2),
-                "stddev": round(var6 ** 0.5, 2),
-                "reps": 20,
-            },
+            "stats": _stats_field(st6),
             "stages": {
                 "device_ms": round(ms6_dev, 2),
                 "transport_ms": round(max(ms6 - ms6_dev, 0.0), 2),
+                "wire_bytes": transport.pixel_bytes(H6, W6, "yuv420"),
+                "rgb888_ms": round(st6_raw["mean"], 2),
+                "rgb888_bytes": transport.pixel_bytes(H6, W6, "rgb888"),
             },
+        }
+    )
+
+    # ---- config 3: peak-label pass through the PRODUCTION fused program ----
+    # 512 synthetic peaks; the fused frame+labels program appends the packed
+    # visibility bytes to the SAME wire vector (`render/transport.py`), so
+    # the label pass adds zero extra transfers: overhead vs config 6 is the
+    # device-side visibility test + the memoized host layout.
+    def frame3():
+        _out, wirebuf = _fast_frame_with_labels(
+            mosaic, cam, pos, valid, width=W6, height=H6, n_steps=512,
+            pixelize_n=None, fov_hint=fov, tolerance_rel=0.05,
+            wire_mode="yuv420",
+        )
+        return wirebuf
+
+    n_laid = 0
+
+    def consume3(buf):
+        nonlocal n_laid
+        _img, lab = transport.decode_frame(buf, H6, W6, P, mode="yuv420")
+        n_laid = len(layout_from_packed(lab))
+
+    st3 = wire_loop(frame3, consume3)
+    ms3 = st3["mean"]
+    configs.append(
+        {
+            "config": 3,
+            "metric": (
+                f"ms per fused 800x450 frame+label pass (512 peaks -> "
+                f"{n_laid} laid out, labels ride the frame pull)"
+            ),
+            "value": round(ms3, 2),
+            "unit": "ms",
+            "target": None,
+            "vs_baseline": None,
+            "stats": _stats_field(st3),
+            "stages": {"label_overhead_ms": round(ms3 - ms6, 2)},
         }
     )
 

@@ -140,6 +140,57 @@ def test_render_host_copy_false_keeps_device_arrays():
     assert isinstance(res2.depth, np.ndarray)
 
 
+def test_render_wire_rgb888_matches_plain():
+    """wire="rgb888" must reproduce the non-wire render exactly: same u8
+    pixels, same label visibility/layouts — one transfer instead of two."""
+    engine, cam, tile = build_engine()
+    ref = engine.render(cam, 160, 100, n_steps=512, n_refine=16,
+                        composite=False)
+    res = engine.render(cam, 160, 100, n_steps=512, n_refine=16,
+                        wire="rgb888")
+    assert res.finish is not None
+    assert res.visible_labels == {} and res.layouts == []
+    buf = np.asarray(res.color)
+    assert buf.ndim == 1 and buf.dtype == np.uint8
+    frame, visible_labels, layouts, names = res.finish(buf)
+    np.testing.assert_array_equal(frame, ref.color)
+    assert {k: v for k, v in visible_labels.items()} == ref.visible_labels
+    assert len(layouts) == len(ref.layouts) == 1
+    assert names[(tile.location, 0)] == "Summit"
+
+
+def test_render_wire_yuv420_close_and_fast_path():
+    """The reduced-byte motion format: ~half the bytes, visually close."""
+    from topo_renderer_tpu.render import transport
+
+    engine, cam, _ = build_engine()
+    ref = engine.render(cam, 160, 100, fast=True, composite=False)
+    res = engine.render(cam, 160, 100, fast=True, wire="yuv420")
+    buf = np.asarray(res.color)
+    assert buf.size == transport.pixel_bytes(100, 160, "yuv420") + \
+        transport.label_bytes(res_n_peaks := _padded_n(engine))
+    frame, visible_labels, layouts, _ = res.finish(buf)
+    assert frame.shape == (100, 160, 3)
+    # Chroma-subsampled, luma-exact-ish: close to the rgb888 frame.
+    err = np.abs(frame.astype(np.float32) - ref.color.astype(np.float32))
+    assert err.mean() < 6.0
+    assert visible_labels == ref.visible_labels
+
+
+def test_render_wire_no_labels():
+    engine, cam, _ = build_engine()
+    res = engine.render(cam, 64, 40, n_steps=64, n_refine=4, fast=True,
+                        with_labels=False, wire="yuv420")
+    frame, visible_labels, layouts, names = res.finish(np.asarray(res.color))
+    assert frame.shape == (40, 64, 3)
+    assert visible_labels == {} and layouts == [] and names == {}
+
+
+def _padded_n(engine):
+    _entries, pos, _valid = engine._padded_peaks()
+    return int(pos.shape[0])
+
+
 def test_engine_render_batch_clipmap_uses_scan():
     """Engine render_batch with a clipmap LOD spec routes through the
     one-program scan path and matches the per-eye two-program render."""

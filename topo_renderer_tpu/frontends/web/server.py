@@ -60,6 +60,7 @@ from topo_renderer_tpu.control.events import (
 from topo_renderer_tpu.geo import GeoCoord
 from topo_renderer_tpu.ops.geometry import R0
 from topo_renderer_tpu.ops.panorama import PanoramaSpec
+from topo_renderer_tpu.render import transport
 from topo_renderer_tpu.utils.imageio import encode_jpeg, encode_png
 
 INDEX_HTML = (Path(__file__).parent / "index.html").read_text(encoding="utf-8")
@@ -305,13 +306,22 @@ class WebFrontend:
                 self._status["loaded"] = len(self.app.engine.loaded_locations)
             if not self.app.engine.loaded_locations:
                 raise RuntimeError("no terrain loaded yet")
+            exact = bool(body.get("exact", False))
+            # One-transfer wire frame (`render/transport.py`): pixels AND
+            # label visibility in a single device->host pull. Motion (fast)
+            # frames default to yuv420 — half the bytes, and the JPEG
+            # encoder applies the same chroma subsampling anyway; the exact
+            # "stop and look" mode defaults to rgb888. A client can pin
+            # either via ``pixfmt``.
+            pixfmt = body.get("pixfmt") or ("rgb888" if exact else "yuv420")
+            if pixfmt not in transport.MODES:
+                raise ValueError(f"unknown pixfmt {pixfmt!r}")
             res = self.app.engine.render(
-                cam, width, height, fast=not bool(body.get("exact", False)),
+                cam, width, height, fast=not exact,
                 with_labels=bool(body.get("labels", True)),
                 host_copy=False,  # f32 planes stay on device
-                u8_host=False,    # the u8 pull overlaps the next render
+                wire=pixfmt,      # the single u8 pull overlaps the next render
             )
-            names = self.app.engine.label_names(res.visible_labels)
         except Exception:
             # No frame was delivered: roll the camera back so the consumed
             # input can't silently teleport the view when rendering recovers
@@ -326,11 +336,12 @@ class WebFrontend:
         finally:
             self._render_lock.release()
         sess.pending_redraw = False
-        frame = np.asarray(res.color)  # device -> host, outside the lock
-        if res.layouts:
+        buf = np.asarray(res.color)  # ONE device -> host pull, outside the lock
+        frame, _visible, layouts, names = res.finish(buf)
+        if layouts:
             from topo_renderer_tpu.render.overlay import composite_labels
 
-            frame = composite_labels(frame, res.layouts, names)
+            frame = composite_labels(frame, layouts, names)
         return encode_jpeg(frame), state, True
 
     # ---- location streaming ------------------------------------------------

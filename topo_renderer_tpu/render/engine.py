@@ -43,6 +43,7 @@ from topo_renderer_tpu.ops.raycast import render_perspective, render_perspective
 
 _FOV_BUCKETS_DEG = (30.0, 45.0, 60.0, 90.0, 120.0, 160.0)
 from topo_renderer_tpu.render import text as text_mod
+from topo_renderer_tpu.render import transport
 from topo_renderer_tpu.render.overlay import composite_labels
 
 
@@ -53,18 +54,22 @@ from functools import partial as _partial
     jax.jit,
     static_argnames=(
         "width", "height", "n_steps", "pixelize_n", "fov_hint", "tolerance_rel",
+        "wire_mode",
     ),
 )
 def _fast_frame_with_labels(
     mosaic, camera, pos, valid, *, width, height, n_steps, pixelize_n,
-    fov_hint, tolerance_rel,
+    fov_hint, tolerance_rel, wire_mode=None,
 ):
     """Interactive fast frame AND label visibility in ONE program.
 
     The browser free-fly loop renders + label-tests every frame; running
     them as separate jit dispatches pays two host round-trips per frame on
     a tunneled TPU. Fused, the depth never leaves the device and the packed
-    visibility rides back with the frame.
+    visibility rides back with the frame. With ``wire_mode`` set the second
+    output is the one-transfer wire vector instead (`render/transport.py`):
+    pixels AND label bytes in a single u8 pull — no second round trip at
+    all (round-3 verdict item 4).
     """
     out = render_perspective_fast(
         mosaic, camera, width=width, height=height, n_steps=n_steps,
@@ -76,26 +81,30 @@ def _fast_frame_with_labels(
         tolerance_rel=tolerance_rel,
     )
     packed = jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
-    return out, packed
+    if wire_mode is None:
+        return out, packed
+    return out, transport.encode_frame(out["color"], packed, mode=wire_mode)
 
 
 @_partial(
     jax.jit,
     static_argnames=(
         "width", "height", "n_steps", "n_refine", "pixelize_n", "fov_hint",
-        "guided",
+        "guided", "wire_mode",
     ),
 )
 def _exact_frame_with_labels(
     mosaic, camera, pos, valid, *, width, height, n_steps, n_refine,
-    pixelize_n, fov_hint, guided,
+    pixelize_n, fov_hint, guided, wire_mode=None,
 ):
     """Triangle-exact frame AND label visibility in ONE program.
 
     Same rationale as `_fast_frame_with_labels`: the interactive exact mode
     (web free-fly "exact" toggle) renders + label-tests every frame; fused,
     the depth stays on device and the packed visibility rides back with the
-    frame — one dispatch instead of two per frame on a tunneled TPU."""
+    frame — one dispatch instead of two per frame on a tunneled TPU. With
+    ``wire_mode`` the visibility bytes ride inside the single u8 frame
+    pull (`render/transport.py`)."""
     out = render_perspective(
         mosaic, camera, width=width, height=height, n_steps=n_steps,
         n_refine=n_refine, pixelize_n=pixelize_n, guided=guided,
@@ -107,7 +116,36 @@ def _exact_frame_with_labels(
         tolerance_rel=0.0,  # exact depth: the reference's absolute tolerance
     )
     packed = jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
-    return out, packed
+    if wire_mode is None:
+        return out, packed
+    return out, transport.encode_frame(out["color"], packed, mode=wire_mode)
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "n_steps", "n_refine", "pixelize_n", "fov_hint",
+        "fast", "guided", "wire_mode",
+    ),
+)
+def _frame_wire(
+    mosaic, camera, *, width, height, n_steps, n_refine, pixelize_n,
+    fov_hint, fast, guided, wire_mode,
+):
+    """Label-free frame straight to the one-transfer wire vector (the
+    interactive loop with labels disabled; same single-pull rationale)."""
+    if fast:
+        out = render_perspective_fast(
+            mosaic, camera, width=width, height=height, n_steps=n_steps,
+            pixelize_n=pixelize_n, fov_hint=fov_hint,
+        )
+    else:
+        out = render_perspective(
+            mosaic, camera, width=width, height=height, n_steps=n_steps,
+            n_refine=n_refine, pixelize_n=pixelize_n, guided=guided,
+            fov_hint=fov_hint,
+        )
+    return out, transport.encode_frame(out["color"], None, mode=wire_mode)
 
 
 @_partial(
@@ -144,6 +182,12 @@ class RenderResult:
     hit: np.ndarray
     visible_labels: dict  # {GeoLocation: [(label_id, (x, y)), ...]}
     layouts: list  # [LabelLayout]
+    # Wire-mode frames (`render(wire=...)`): ``color`` is the DEVICE flat u8
+    # wire vector (pixels + label bytes, `render/transport.py`) and
+    # ``finish(np.asarray(color))`` decodes it on host -> (u8 frame,
+    # visible_labels, layouts, names) — the caller pulls ONE buffer outside
+    # any lock and finishes there. None for non-wire renders.
+    finish: object = None
 
 
 class RenderEngine:
@@ -543,6 +587,23 @@ class RenderEngine:
         )
         return visible_labels, layouts
 
+    def _make_finish(self, entries, names, height, width, mode, n_peaks):
+        """Host-side second half of a wire-mode render: decode the pulled
+        buffer, run the (memoized) label pass. ``names`` is snapshotted at
+        render time so peak mutations between dispatch and finish can't
+        skew the composited labels."""
+
+        def finish(buf):
+            img, lab = transport.decode_frame(
+                np.asarray(buf), height, width, n_peaks, mode=mode
+            )
+            if lab is None:
+                return img, {}, [], {}
+            visible_labels, layouts = self._label_pass_packed(entries, lab)
+            return img, visible_labels, layouts, names
+
+        return finish
+
     @staticmethod
     def _fov_bucket_rad(camera) -> float:
         import math
@@ -571,6 +632,7 @@ class RenderEngine:
         guided: bool = True,
         host_copy: bool = True,
         u8_host: bool = True,
+        wire: str | None = None,
     ) -> RenderResult:
         """Full frame: terrain + postprocess + label pass (reference render
         loop §3.3/§3.4 of SURVEY).
@@ -588,12 +650,67 @@ class RenderEngine:
         while the device renders the NEXT frame — the interactive loop's
         double buffering (the pull is the frame's largest fixed cost on a
         tunneled TPU).
+
+        ``wire`` (a `render/transport.py` mode: "rgb888", "yuv420",
+        "yuv420_half") goes further: ``color`` becomes the flat DEVICE u8
+        wire vector carrying pixels AND packed label visibility in ONE
+        transfer — no second round trip for the 6 KB label pull, and
+        "yuv420" halves the pixel bytes at JPEG-equivalent quality. The
+        caller pulls the buffer and calls ``res.finish(buf)`` ->
+        ``(u8 frame, visible_labels, layouts, names)`` outside any lock.
         """
         mosaic = self.mosaic
         fov_hint = self._fov_bucket_rad(camera)
         visible_labels: dict[GeoLocation, list] = {}
         layouts: list = []
         want_labels = with_labels and bool(self._peaks)
+        if wire is not None:
+            if wire not in transport.MODES:
+                raise ValueError(f"unknown wire mode {wire!r}")
+            cp = np.asarray if host_copy else (lambda a: a)
+            if want_labels:
+                entries, pos, valid = self._padded_peaks()
+                if fast:
+                    out, wire_dev = _fast_frame_with_labels(
+                        mosaic, camera, pos, valid,
+                        width=width, height=height, n_steps=min(n_steps, 512),
+                        pixelize_n=pixelize_n, fov_hint=fov_hint,
+                        tolerance_rel=0.05, wire_mode=wire,
+                    )
+                else:
+                    out, wire_dev = _exact_frame_with_labels(
+                        mosaic, camera, pos, valid,
+                        width=width, height=height, n_steps=n_steps,
+                        n_refine=n_refine, pixelize_n=pixelize_n,
+                        fov_hint=fov_hint if guided else None, guided=guided,
+                        wire_mode=wire,
+                    )
+                names = {
+                    (loc, i): self._peaks[loc][i].name
+                    for (loc, i, _inst) in entries
+                }
+                n_peaks = int(pos.shape[0])
+            else:
+                out, wire_dev = _frame_wire(
+                    mosaic, camera, width=width, height=height,
+                    n_steps=min(n_steps, 512) if fast else n_steps,
+                    n_refine=n_refine, pixelize_n=pixelize_n,
+                    fov_hint=fov_hint if (guided or fast) else None,
+                    fast=fast, guided=guided, wire_mode=wire,
+                )
+                entries, names, n_peaks = [], {}, 0
+            return RenderResult(
+                color=wire_dev,
+                color_linear=cp(out["color"]),
+                depth=cp(out["depth"]),
+                distance=cp(out["distance"]),
+                hit=cp(out["hit"]),
+                visible_labels={},
+                layouts=[],
+                finish=self._make_finish(
+                    entries, names, height, width, wire, n_peaks
+                ),
+            )
         if fast and want_labels:
             # One program for frame + label visibility (one dispatch/frame
             # on the interactive path instead of two).
