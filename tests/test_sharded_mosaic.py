@@ -204,3 +204,96 @@ def test_sharded_batch_scan_matches_replicated(scene):
         np.testing.assert_allclose(
             np.asarray(got[i]), np.asarray(ref), atol=2e-6
         )
+
+
+def test_sharded_slot_update_bit_matches_resharded(monkeypatch):
+    """Streaming composes with sharded capacity (round-3 verdict item 6):
+    incremental add/unload against a ROW-SHARDED mosaic must bit-match
+    re-sharding the replicated incremental result. The math is shared
+    (`models/mosaic_update.compute_slot_blocks`); this pins the sharded
+    read-assembly + band-write plumbing around it.
+
+    (Bound sphere: the engine refreshes it host-side after updates; the
+    sharded update, like the replicated one, only maintains hmax.)"""
+    from tests.test_mosaic_update import _streaming_engine, tile_at
+    from topo_renderer_tpu.models import mosaic_update
+    from topo_renderer_tpu.parallel.sharded_update import (
+        apply_slot_update_sharded,
+    )
+
+    mesh = _mesh(2)  # canvas rows (112) divide 8*2; mip levels stay local
+    eng = _streaming_engine()
+    a, b = tile_at(0, 0), tile_at(0, 1)
+    eng.add_terrain(a.location, a.heights, a.transform)
+    eng.add_terrain(b.location, b.heights, b.transform)
+    m0 = eng.mosaic  # settled full streaming build of {a, b}
+    assert not eng._pending
+
+    calls = []
+    orig = mosaic_update.apply_slot_update
+
+    def spy(m, blk, oy, ox, slices, rot, geo, **kw):
+        calls.append((blk, oy, ox, slices, rot, geo, dict(kw)))
+        return orig(m, blk, oy, ox, slices, rot, geo, **kw)
+
+    monkeypatch.setattr(mosaic_update, "apply_slot_update", spy)
+
+    skw = dict(size_threshold=10_000, keep_cell_table=True)
+    # Deep-copy first: device_put of an already-resident replicated leaf
+    # ALIASES the buffer, and the engine DONATES its mosaic on the next
+    # incremental update — the sharded copy must own its memory.
+    m0c = jax.tree_util.tree_map(jnp.array, m0)
+    s = shard_mosaic(m0c, mesh, **skw)
+    assert 0 in s.sharded_rows and s.shape == m0.shape  # aligned, unpadded
+
+    c = tile_at(1, 1)
+
+    def check(s_got, replicated):
+        want = shard_mosaic(replicated, mesh, **skw)
+        np.testing.assert_array_equal(
+            np.asarray(s_got.heights_flat), np.asarray(want.heights_flat)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_got.attr_packed_flat).view(np.uint32),
+            np.asarray(want.attr_packed_flat).view(np.uint32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_got.cell_heights_flat),
+            np.asarray(want.cell_heights_flat),
+        )
+        for x, y in zip(s_got.mip_heights_flat, want.mip_heights_flat):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(s_got.mip_attr_flat, want.mip_attr_flat):
+            np.testing.assert_array_equal(
+                np.asarray(x).view(np.uint32), np.asarray(y).view(np.uint32)
+            )
+        for x, y in zip(s_got.mip_hmax_flat, want.mip_hmax_flat):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(s_got.mip_hmax_raw_flat, want.mip_hmax_raw_flat):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(s_got.win_attr_2d, want.win_attr_2d):
+            assert (x is None) == (y is None)
+            if x is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(x).view(np.uint32),
+                    np.asarray(y).view(np.uint32),
+                )
+        assert float(s_got.hmax) == float(want.hmax)
+
+    # Interleave: the engine DONATES its previous mosaic on each update, so
+    # each replicated result must be checked before the next op runs.
+    for step in ("add", "unload"):
+        if step == "add":
+            eng.add_terrain(c.location, c.heights, c.transform)
+        else:
+            eng.unload_terrain(b.location)
+        replicated = eng.mosaic  # applies the queued incremental op
+        blk, oy, ox, slices, rot, geo, kw = calls[-1]
+        s = apply_slot_update_sharded(
+            s, blk, oy, ox, slices, rot, geo, mesh,
+            th=kw["th"], tw=kw["tw"],
+            quantize_normals=kw.get("quantize_normals", True),
+            correct_axes=kw.get("correct_axes", False),
+        )
+        check(s, replicated)
+    assert len(calls) == 2

@@ -104,6 +104,233 @@ def _win(start, inner, table, pad):
     return s, size
 
 
+def _region_geom(o, t_inner, table: int, size: int):
+    """Origin of the halo REGION a level's update math reads: a static
+    ``size`` window clamped into ``[0, table]`` around the slot (covers
+    every slice `compute_slot_blocks` cuts — slack 8 vs the widest use's
+    4)."""
+    return jnp.clip(o - 8, 0, table - size)
+
+
+def region_sizes(th: int, tw: int, shape, mip_shapes):
+    """Static (per level 0..L) region sizes `compute_slot_blocks` reads:
+    [(gh, gw)] — the sharded path psum-assembles exactly these windows."""
+    h_m, w_m = shape
+    out = [(min(th + 16, h_m), min(tw + 16, w_m))]
+    for lv, (h_l, w_l) in enumerate(mip_shapes, start=1):
+        out.append((min((th >> lv) + 16, h_l), min((tw >> lv) + 16, w_l)))
+    return out
+
+
+def compute_slot_blocks(
+    read,           # read(kind, level, gy, gx) -> region [gh, gw] (f32)
+    shape, mip_shapes, win_levels,
+    blk, oy, ox, owner_slices, rot_flat, geo,
+    *,
+    th: int,
+    tw: int,
+    quantize_normals: bool,
+    correct_axes: bool,
+    has_cell_table: bool,
+):
+    """The slot update's MATH, parameterized over how table regions are
+    read — shared verbatim by the replicated path (`apply_slot_update`:
+    regions are direct slices of the full tables) and the row-sharded path
+    (`parallel/sharded_update.py`: regions are psum-assembled from the row
+    bands), so the two are bit-identical by construction.
+
+    ``read`` kinds: ``"h"`` (average heights; level 0 = base heights),
+    ``"raw"`` (undilated max; level 0 = base heights), ``"attr1"``
+    (bitcast packed-normal plane; level 0 only, for the cell corners).
+    Regions are the static `region_sizes` windows at `_region_geom`
+    origins and must reflect the PRE-update tables; the slot write and all
+    intra-update dependencies are overlaid here.
+
+    Returns ``blocks``: a list of ``(table, level, block, y, x)`` updates
+    where ``table`` is one of ``heights/attr/win/cell/mip_avg/mip_attr/
+    mip_raw/mip_dil`` — every derived-table rewrite of the slot update, in
+    application order.
+    """
+    h_m, w_m = shape
+    n_levels = len(mip_shapes)
+    sizes = region_sizes(th, tw, shape, mip_shapes)
+
+    oy = jnp.clip(jnp.asarray(oy, jnp.int32), 0, h_m - th)
+    ox = jnp.clip(jnp.asarray(ox, jnp.int32), 0, w_m - tw)
+
+    blocks = []
+
+    # ---- level 0: slot write, packed attrs, window table, cell rows -------
+    GH0, GW0 = sizes[0]
+    gy0 = _region_geom(oy, th, h_m, GH0)
+    gx0 = _region_geom(ox, tw, w_m, GW0)
+    R0 = read("h", 0, gy0, gx0)
+    R0 = jax.lax.dynamic_update_slice(R0, blk, (oy - gy0, ox - gx0))
+    blocks.append(("heights", 0, blk, oy, ox))
+
+    a_h = min(th + 4, h_m)             # attr inner: region +-1 (+2 slack)
+    a_w = min(tw + 4, w_m)
+    sy0, sh0 = _win(oy - 2, a_h, h_m, HALO)
+    sx0, sw0 = _win(ox - 2, a_w, w_m, HALO)
+    h_sl = jax.lax.dynamic_slice(R0, (sy0 - gy0, sx0 - gx0), (sh0, sw0))
+    packed_sl = _packed_from_slice(
+        h_sl, owner_slices[0], rot_flat, geo, 0, sy0, sx0,
+        quantize_normals, correct_axes,
+    )
+    # Inner window inside the slice: trust values >= HALO from the slice
+    # border unless the border is the table border.
+    iy0 = jnp.clip(oy - 2, 0, h_m - a_h)
+    ix0 = jnp.clip(ox - 2, 0, w_m - a_w)
+    ry, rx = iy0 - sy0, ix0 - sx0
+    h_in = jax.lax.dynamic_slice(h_sl, (ry, rx), (a_h, a_w))
+    p_in = jax.lax.dynamic_slice(packed_sl, (ry, rx), (a_h, a_w))
+    p_in_f = jax.lax.bitcast_convert_type(p_in, jnp.float32)
+    blocks.append(("attr", 0, jnp.stack([h_in, p_in_f], axis=-1), iy0, ix0))
+    if 0 in win_levels:
+        blocks.append(("win", 0, jnp.stack([h_in, p_in_f], axis=0), iy0, ix0))
+
+    if has_cell_table:
+        # Cells whose corner NORMALS can change: validity flips at the
+        # region edge move compute_normals output at region +-1, and cells
+        # at row oy-2 reference those texels as their south corners — so
+        # the window starts at oy-2 (a bare oy-1 left stale corner normals
+        # for abutting tile layouts).
+        c_h, c_w = min(th + 4, h_m), min(tw + 4, w_m)
+        cy0 = jnp.clip(oy - 2, 0, h_m - c_h)
+        cx0 = jnp.clip(ox - 2, 0, w_m - c_w)
+        # Heights AND packed normals over the cell window +1 east/south,
+        # clamped at the table edge exactly like the full build's
+        # edge-clamped shifts (normals read from the updated attr values —
+        # the old attr region overlaid with the inner block just computed —
+        # so the cell rows stay bit-identical to a fresh build).
+        RA = read("attr1", 0, gy0, gx0)
+        RA = jax.lax.dynamic_update_slice(RA, p_in_f, (iy0 - gy0, ix0 - gx0))
+        gy = jnp.minimum(cy0 + jnp.arange(c_h + 1, dtype=jnp.int32), h_m - 1)
+        gx = jnp.minimum(cx0 + jnp.arange(c_w + 1, dtype=jnp.int32), w_m - 1)
+        hc = R0[(gy - gy0)[:, None], (gx - gx0)[None, :]]
+        pc = RA[(gy - gy0)[:, None], (gx - gx0)[None, :]]
+        cell_blk = jnp.stack(
+            [
+                hc[:-1, :-1], hc[:-1, 1:], hc[1:, :-1], hc[1:, 1:],
+                pc[:-1, :-1], pc[:-1, 1:], pc[1:, :-1], pc[1:, 1:],
+            ],
+            axis=-1,
+        )
+        blocks.append(("cell", 0, cell_blk, cy0, cx0))
+
+    # ---- mip chains -------------------------------------------------------
+    prev_avg, prev_raw = R0, R0     # level L-1 regions (2-D views)
+    pg_y, pg_x = gy0, gx0           # their origins
+    for lv in range(1, n_levels + 1):
+        h_l, w_l = mip_shapes[lv - 1]
+        th_l = (th >> lv) + 2
+        tw_l = (tw >> lv) + 2
+        oy_l = oy >> lv
+        ox_l = ox >> lv
+        GH, GW = sizes[lv]
+        gy_l = _region_geom(oy_l, th_l, h_l, GH)
+        gx_l = _region_geom(ox_l, tw_l, w_l, GW)
+
+        # Average pool: inner (th_l + 2) window, sources from prev level.
+        p_h = min(th_l + 2, h_l)
+        p_w = min(tw_l + 2, w_l)
+        py = jnp.clip(oy_l - 1, 0, h_l - p_h)
+        px = jnp.clip(ox_l - 1, 0, w_l - p_w)
+        src = jax.lax.dynamic_slice(
+            prev_avg, (2 * py - pg_y, 2 * px - pg_x), (2 * p_h, 2 * p_w)
+        )
+        c = src
+        pooled = 0.25 * (
+            (c[0::2, 0::2] + c[0::2, 1::2]) + (c[1::2, 0::2] + c[1::2, 1::2])
+        )
+        pooled = jnp.maximum(pooled, jnp.float32(POISON_HEIGHT))
+        pooled = jnp.where(
+            pooled < 0.1 * POISON_HEIGHT, jnp.float32(POISON_HEIGHT), pooled
+        )
+        blocks.append(("mip_avg", lv, pooled, py, px))
+        avg_rg = read("h", lv, gy_l, gx_l)
+        avg_rg = jax.lax.dynamic_update_slice(
+            avg_rg, pooled, (py - gy_l, px - gx_l)
+        )
+
+        # Max pool (undilated) on a wider inner (+2 ring for dilation).
+        m_h = min(th_l + 4, h_l)
+        m_w = min(tw_l + 4, w_l)
+        my = jnp.clip(oy_l - 2, 0, h_l - m_h)
+        mx = jnp.clip(ox_l - 2, 0, w_l - m_w)
+        srcm = jax.lax.dynamic_slice(
+            prev_raw, (2 * my - pg_y, 2 * mx - pg_x), (2 * m_h, 2 * m_w)
+        )
+        pooledm = jnp.maximum(
+            jnp.maximum(srcm[0::2, 0::2], srcm[0::2, 1::2]),
+            jnp.maximum(srcm[1::2, 0::2], srcm[1::2, 1::2]),
+        )
+        blocks.append(("mip_raw", lv, pooledm, my, mx))
+        raw_rg = read("raw", lv, gy_l, gx_l)
+        raw_rg = jax.lax.dynamic_update_slice(
+            raw_rg, pooledm, (my - gy_l, mx - gx_l)
+        )
+
+        # Dilate 3x3 on the raw table: inner (th_l + 2), slice +-1.
+        d_h = min(th_l + 2, h_l)
+        d_w = min(tw_l + 2, w_l)
+        dy = jnp.clip(oy_l - 1, 0, h_l - d_h)
+        dx_ = jnp.clip(ox_l - 1, 0, w_l - d_w)
+        gy = jnp.clip(dy + jnp.arange(-1, d_h + 1, dtype=jnp.int32), 0, h_l - 1)
+        gx = jnp.clip(dx_ + jnp.arange(-1, d_w + 1, dtype=jnp.int32), 0, w_l - 1)
+        rawp = raw_rg[(gy - gy_l)[:, None], (gx - gx_l)[None, :]]
+        dil = rawp[1:-1, 1:-1]
+        for ddy in (0, 1, 2):
+            for ddx in (0, 1, 2):
+                dil = jnp.maximum(dil, rawp[ddy : ddy + d_h, ddx : ddx + d_w])
+        blocks.append(("mip_dil", lv, dil, dy, dx_))
+
+        # Per-level packed attrs (+ window table) from the updated averages.
+        aL_h = min(th_l + 4, h_l)
+        aL_w = min(tw_l + 4, w_l)
+        # (sizes mirrored host-side by `attr_slice_geometry`)
+        syl, shl = _win(oy_l - 2, aL_h, h_l, HALO)
+        sxl, swl = _win(ox_l - 2, aL_w, w_l, HALO)
+        h_sll = jax.lax.dynamic_slice(
+            avg_rg, (syl - gy_l, sxl - gx_l), (shl, swl)
+        )
+        packed_l = _packed_from_slice(
+            h_sll, owner_slices[lv], rot_flat, geo, lv, syl, sxl,
+            quantize_normals, correct_axes,
+        )
+        iyl = jnp.clip(oy_l - 2, 0, h_l - aL_h)
+        ixl = jnp.clip(ox_l - 2, 0, w_l - aL_w)
+        ryl, rxl = iyl - syl, ixl - sxl
+        h_inl = jax.lax.dynamic_slice(h_sll, (ryl, rxl), (aL_h, aL_w))
+        p_inl = jax.lax.bitcast_convert_type(
+            jax.lax.dynamic_slice(packed_l, (ryl, rxl), (aL_h, aL_w)),
+            jnp.float32,
+        )
+        blocks.append(
+            ("mip_attr", lv, jnp.stack([h_inl, p_inl], axis=-1), iyl, ixl)
+        )
+        if lv in win_levels:
+            blocks.append(
+                ("win", lv, jnp.stack([h_inl, p_inl], axis=0), iyl, ixl)
+            )
+
+        prev_avg, prev_raw = avg_rg, raw_rg
+        pg_y, pg_x = gy_l, gx_l
+
+    return blocks
+
+
+def check_halvable(shape, mip_shapes):
+    h_m, w_m = shape
+    for lv, (hl, wl) in enumerate([(h_m, w_m)] + list(mip_shapes)[:-1]):
+        hn, wn = mip_shapes[lv]
+        if hl != 2 * hn or wl != 2 * wn:
+            raise ValueError(
+                "apply_slot_update needs a canvas whose mip chain halves "
+                "exactly (use streaming_canvas_dim)"
+            )
+
+
 @partial(
     jax.jit,
     donate_argnums=(0,),
@@ -124,186 +351,91 @@ def apply_slot_update(
 ) -> TerrainMosaic:
     """Write one tile slot (add: real heights; unload: all-POISON block) and
     recompute every derived table on halo slices. Donates the mosaic, so the
-    multi-GB tables update in place."""
+    multi-GB tables update in place. The math lives in
+    `compute_slot_blocks`; this wrapper reads regions straight off the full
+    tables and applies the blocks with `dynamic_update_slice`."""
     h_m, w_m = mosaic.shape
     assert mosaic.has_cell_table or mosaic.cell_heights_flat.shape[0] == 1
-    n_levels = len(mosaic.mip_shapes)
-    for lv, (hl, wl) in enumerate([(h_m, w_m)] + list(mosaic.mip_shapes)[:-1]):
-        hn, wn = mosaic.mip_shapes[lv]
-        if hl != 2 * hn or wl != 2 * wn:
-            raise ValueError(
-                "apply_slot_update needs a canvas whose mip chain halves "
-                "exactly (use streaming_canvas_dim)"
-            )
-
-    oy = jnp.asarray(oy, jnp.int32)
-    ox = jnp.asarray(ox, jnp.int32)
+    check_halvable(mosaic.shape, mosaic.mip_shapes)
 
     heights2d = mosaic.heights_flat.reshape(h_m, w_m)
-    heights2d = jax.lax.dynamic_update_slice(heights2d, blk, (oy, ox))
-    # Matches build_mosaic: max over valid heights (may be negative for
-    # below-sea-level terrain), 0.0 when nothing is valid.
-    hmax_raw = jnp.max(heights2d)
-    hmax = jnp.where(hmax_raw < 0.5 * POISON_HEIGHT, jnp.float32(0.0), hmax_raw)
-
-    # ---- level 0: packed attrs (region +-1), window table, cell rows ------
-    a_h = min(th + 4, h_m)             # attr inner: region +-1 (+2 slack)
-    a_w = min(tw + 4, w_m)
-    sy0, sh0 = _win(oy - 2, a_h, h_m, HALO)
-    sx0, sw0 = _win(ox - 2, a_w, w_m, HALO)
-    h_sl = jax.lax.dynamic_slice(heights2d, (sy0, sx0), (sh0, sw0))
-    packed_sl = _packed_from_slice(
-        h_sl, owner_slices[0], rot_flat, geo, 0, sy0, sx0,
-        quantize_normals, correct_axes,
-    )
-    # Inner window inside the slice: trust values >= HALO from the slice
-    # border unless the border is the table border.
-    iy0 = jnp.clip(oy - 2, 0, h_m - a_h)
-    ix0 = jnp.clip(ox - 2, 0, w_m - a_w)
-    ry, rx = iy0 - sy0, ix0 - sx0
-    h_in = jax.lax.dynamic_slice(h_sl, (ry, rx), (a_h, a_w))
-    p_in = jax.lax.dynamic_slice(packed_sl, (ry, rx), (a_h, a_w))
-    p_in_f = jax.lax.bitcast_convert_type(p_in, jnp.float32)
-
     attr2 = mosaic.attr_packed_flat.reshape(h_m, w_m, 2)
-    attr2 = jax.lax.dynamic_update_slice(
-        attr2, jnp.stack([h_in, p_in_f], axis=-1), (iy0, ix0, jnp.int32(0))
-    )
-
-    win_tables = list(mosaic.win_attr_2d)
-    if win_tables and win_tables[0] is not None:
-        win_tables[0] = jax.lax.dynamic_update_slice(
-            win_tables[0], jnp.stack([h_in, p_in_f], axis=0),
-            (jnp.int32(0), iy0, ix0),
-        )
-
-    if mosaic.has_cell_table:
-        # Cells whose corner NORMALS can change: validity flips at the
-        # region edge move compute_normals output at region +-1, and cells
-        # at row oy-2 reference those texels as their south corners — so
-        # the window starts at oy-2 (a bare oy-1 left stale corner normals
-        # for abutting tile layouts).
-        c_h, c_w = min(th + 4, h_m), min(tw + 4, w_m)
-        cy0 = jnp.clip(oy - 2, 0, h_m - c_h)
-        cx0 = jnp.clip(ox - 2, 0, w_m - c_w)
-        # Heights AND packed normals over the cell window +1 east/south,
-        # clamped at the table edge exactly like the full build's
-        # edge-clamped shifts (normals read back from the just-updated attr
-        # table so the cell rows stay bit-identical to a fresh build).
-        gy = jnp.minimum(cy0 + jnp.arange(c_h + 1, dtype=jnp.int32), h_m - 1)
-        gx = jnp.minimum(cx0 + jnp.arange(c_w + 1, dtype=jnp.int32), w_m - 1)
-        hc = heights2d[gy[:, None], gx[None, :]]
-        pc = attr2[gy[:, None], gx[None, :], 1]
-        cell_blk = jnp.stack(
-            [
-                hc[:-1, :-1], hc[:-1, 1:], hc[1:, :-1], hc[1:, 1:],
-                pc[:-1, :-1], pc[:-1, 1:], pc[1:, :-1], pc[1:, 1:],
-            ],
-            axis=-1,
-        )
-        cell3 = mosaic.cell_heights_flat.reshape(h_m, w_m, 8)
-        cell3 = jax.lax.dynamic_update_slice(
-            cell3, cell_blk, (cy0, cx0, jnp.int32(0))
-        )
-        cell_out = cell3.reshape(-1, 8)
-    else:
-        cell_out = mosaic.cell_heights_flat
-
-    # ---- mip chains -------------------------------------------------------
     mips = [m for m in mosaic.mip_heights_flat]
     mip_attrs = [a for a in mosaic.mip_attr_flat]
     mip_hmax = [m for m in mosaic.mip_hmax_flat]
     mip_raw = [m for m in mosaic.mip_hmax_raw_flat]
+    win_tables = list(mosaic.win_attr_2d)
+    win_levels = {
+        lv for lv, t in enumerate(win_tables) if t is not None
+    }
 
-    prev_avg = heights2d          # level L-1 average table (2-D view)
-    prev_raw = heights2d          # level L-1 undilated max table
-    for lv in range(1, n_levels + 1):
-        h_l, w_l = mosaic.mip_shapes[lv - 1]
-        th_l = (th >> lv) + 2
-        tw_l = (tw >> lv) + 2
-        oy_l = oy >> lv
-        ox_l = ox >> lv
+    def read(kind, level, gy, gx):
+        gh, gw = region_sizes(th, tw, mosaic.shape, mosaic.mip_shapes)[level]
+        if level == 0:
+            if kind == "attr1":
+                return jax.lax.dynamic_slice(
+                    attr2, (gy, gx, jnp.int32(1)), (gh, gw, 1)
+                )[..., 0]
+            src = heights2d
+        elif kind == "raw":
+            src = mip_raw[level - 1].reshape(mosaic.mip_shapes[level - 1])
+        else:
+            src = mips[level - 1].reshape(mosaic.mip_shapes[level - 1])
+        return jax.lax.dynamic_slice(src, (gy, gx), (gh, gw))
 
-        # Average pool: inner (th_l + 2) window, sources from prev level.
-        p_h = min(th_l + 2, h_l)
-        p_w = min(tw_l + 2, w_l)
-        py = jnp.clip(oy_l - 1, 0, h_l - p_h)
-        px = jnp.clip(ox_l - 1, 0, w_l - p_w)
-        src = jax.lax.dynamic_slice(prev_avg, (2 * py, 2 * px), (2 * p_h, 2 * p_w))
-        c = src
-        pooled = 0.25 * (
-            (c[0::2, 0::2] + c[0::2, 1::2]) + (c[1::2, 0::2] + c[1::2, 1::2])
-        )
-        pooled = jnp.maximum(pooled, jnp.float32(POISON_HEIGHT))
-        pooled = jnp.where(
-            pooled < 0.1 * POISON_HEIGHT, jnp.float32(POISON_HEIGHT), pooled
-        )
-        avg2d = mips[lv - 1].reshape(h_l, w_l)
-        avg2d = jax.lax.dynamic_update_slice(avg2d, pooled, (py, px))
-        mips[lv - 1] = avg2d.reshape(-1)
+    blocks = compute_slot_blocks(
+        read, mosaic.shape, mosaic.mip_shapes, win_levels,
+        blk, oy, ox, owner_slices, rot_flat, geo,
+        th=th, tw=tw, quantize_normals=quantize_normals,
+        correct_axes=correct_axes, has_cell_table=mosaic.has_cell_table,
+    )
 
-        # Max pool (undilated) on a wider inner (+2 ring for dilation).
-        m_h = min(th_l + 4, h_l)
-        m_w = min(tw_l + 4, w_l)
-        my = jnp.clip(oy_l - 2, 0, h_l - m_h)
-        mx = jnp.clip(ox_l - 2, 0, w_l - m_w)
-        srcm = jax.lax.dynamic_slice(prev_raw, (2 * my, 2 * mx), (2 * m_h, 2 * m_w))
-        pooledm = jnp.maximum(
-            jnp.maximum(srcm[0::2, 0::2], srcm[0::2, 1::2]),
-            jnp.maximum(srcm[1::2, 0::2], srcm[1::2, 1::2]),
-        )
-        raw2d = mip_raw[lv - 1].reshape(h_l, w_l)
-        raw2d = jax.lax.dynamic_update_slice(raw2d, pooledm, (my, mx))
-        mip_raw[lv - 1] = raw2d.reshape(-1)
-
-        # Dilate 3x3 on the raw table: inner (th_l + 2), slice +-1.
-        d_h = min(th_l + 2, h_l)
-        d_w = min(tw_l + 2, w_l)
-        dy = jnp.clip(oy_l - 1, 0, h_l - d_h)
-        dx_ = jnp.clip(ox_l - 1, 0, w_l - d_w)
-        gy = jnp.clip(dy + jnp.arange(-1, d_h + 1, dtype=jnp.int32), 0, h_l - 1)
-        gx = jnp.clip(dx_ + jnp.arange(-1, d_w + 1, dtype=jnp.int32), 0, w_l - 1)
-        rawp = raw2d[gy[:, None], gx[None, :]]
-        dil = rawp[1:-1, 1:-1]
-        for ddy in (0, 1, 2):
-            for ddx in (0, 1, 2):
-                dil = jnp.maximum(dil, rawp[ddy : ddy + d_h, ddx : ddx + d_w])
-        dil2d = mip_hmax[lv - 1].reshape(h_l, w_l)
-        dil2d = jax.lax.dynamic_update_slice(dil2d, dil, (dy, dx_))
-        mip_hmax[lv - 1] = dil2d.reshape(-1)
-
-        # Per-level packed attrs (+ window table) from the updated averages.
-        aL_h = min(th_l + 4, h_l)
-        aL_w = min(tw_l + 4, w_l)
-        # (sizes mirrored host-side by `attr_slice_geometry`)
-        syl, shl = _win(oy_l - 2, aL_h, h_l, HALO)
-        sxl, swl = _win(ox_l - 2, aL_w, w_l, HALO)
-        h_sll = jax.lax.dynamic_slice(avg2d, (syl, sxl), (shl, swl))
-        packed_l = _packed_from_slice(
-            h_sll, owner_slices[lv], rot_flat, geo, lv, syl, sxl,
-            quantize_normals, correct_axes,
-        )
-        iyl = jnp.clip(oy_l - 2, 0, h_l - aL_h)
-        ixl = jnp.clip(ox_l - 2, 0, w_l - aL_w)
-        ryl, rxl = iyl - syl, ixl - sxl
-        h_inl = jax.lax.dynamic_slice(h_sll, (ryl, rxl), (aL_h, aL_w))
-        p_inl = jax.lax.bitcast_convert_type(
-            jax.lax.dynamic_slice(packed_l, (ryl, rxl), (aL_h, aL_w)),
-            jnp.float32,
-        )
-        at2 = mip_attrs[lv - 1].reshape(h_l, w_l, 2)
-        at2 = jax.lax.dynamic_update_slice(
-            at2, jnp.stack([h_inl, p_inl], axis=-1), (iyl, ixl, jnp.int32(0))
-        )
-        mip_attrs[lv - 1] = at2.reshape(-1, 2)
-        if lv < len(win_tables) and win_tables[lv] is not None:
-            win_tables[lv] = jax.lax.dynamic_update_slice(
-                win_tables[lv], jnp.stack([h_inl, p_inl], axis=0),
-                (jnp.int32(0), iyl, ixl),
+    cell3 = (
+        mosaic.cell_heights_flat.reshape(h_m, w_m, 8)
+        if mosaic.has_cell_table
+        else None
+    )
+    for table, lv, block, y, x in blocks:
+        if table == "heights":
+            heights2d = jax.lax.dynamic_update_slice(heights2d, block, (y, x))
+        elif table == "attr":
+            attr2 = jax.lax.dynamic_update_slice(
+                attr2, block, (y, x, jnp.int32(0))
             )
+        elif table == "win":
+            win_tables[lv] = jax.lax.dynamic_update_slice(
+                win_tables[lv], block, (jnp.int32(0), y, x)
+            )
+        elif table == "cell":
+            cell3 = jax.lax.dynamic_update_slice(
+                cell3, block, (y, x, jnp.int32(0))
+            )
+        elif table == "mip_avg":
+            h_l, w_l = mosaic.mip_shapes[lv - 1]
+            mips[lv - 1] = jax.lax.dynamic_update_slice(
+                mips[lv - 1].reshape(h_l, w_l), block, (y, x)
+            ).reshape(-1)
+        elif table == "mip_raw":
+            h_l, w_l = mosaic.mip_shapes[lv - 1]
+            mip_raw[lv - 1] = jax.lax.dynamic_update_slice(
+                mip_raw[lv - 1].reshape(h_l, w_l), block, (y, x)
+            ).reshape(-1)
+        elif table == "mip_dil":
+            h_l, w_l = mosaic.mip_shapes[lv - 1]
+            mip_hmax[lv - 1] = jax.lax.dynamic_update_slice(
+                mip_hmax[lv - 1].reshape(h_l, w_l), block, (y, x)
+            ).reshape(-1)
+        elif table == "mip_attr":
+            h_l, w_l = mosaic.mip_shapes[lv - 1]
+            mip_attrs[lv - 1] = jax.lax.dynamic_update_slice(
+                mip_attrs[lv - 1].reshape(h_l, w_l, 2), block,
+                (y, x, jnp.int32(0)),
+            ).reshape(-1, 2)
 
-        prev_avg = avg2d
-        prev_raw = raw2d
+    # Matches build_mosaic: max over valid heights (may be negative for
+    # below-sea-level terrain), 0.0 when nothing is valid.
+    hmax_raw = jnp.max(heights2d)
+    hmax = jnp.where(hmax_raw < 0.5 * POISON_HEIGHT, jnp.float32(0.0), hmax_raw)
 
     import dataclasses
 
@@ -311,7 +443,10 @@ def apply_slot_update(
         mosaic,
         heights_flat=heights2d.reshape(-1),
         attr_packed_flat=attr2.reshape(-1, 2),
-        cell_heights_flat=cell_out,
+        cell_heights_flat=(
+            cell3.reshape(-1, 8) if cell3 is not None
+            else mosaic.cell_heights_flat
+        ),
         mip_heights_flat=tuple(mips),
         mip_attr_flat=tuple(mip_attrs),
         mip_hmax_flat=tuple(mip_hmax),
