@@ -262,7 +262,10 @@ def main():
     # per-pixel windowed march (the remainder). The prepass spec comes from
     # the march itself (`guided_prepass_spec`) so a knob change cannot
     # silently skew the attribution (round-3 verdict item 8).
-    from topo_renderer_tpu.ops.raycast import guided_prepass_spec
+    from topo_renderer_tpu.ops.raycast import (
+        guided_march_rounds,
+        guided_prepass_spec,
+    )
 
     spec_pre, _, _ = guided_prepass_spec(
         height=450, fov_hint=fov, aspect=800 / 450, n_steps=1024
@@ -270,6 +273,11 @@ def main():
     ms1_pre = _sustained_ms(
         lambda: panorama_crossing_prepass(mosaic, eye, spec_pre)["d_lo"], reps=12
     )
+    # Round-count decomposition (both derived from the engine, never
+    # re-derived here): the march's cost unit is one packed cell-row
+    # gather per pixel per round; NOTES.md's gather-rate ground truth puts
+    # the per-round floor at ~50-75 M rows/s regardless of table layout.
+    rounds1 = guided_march_rounds()
     configs.append(
         {
             "config": 1,
@@ -282,6 +290,8 @@ def main():
             "stages": {
                 "prepass_ms": round(ms1_pre, 2),
                 "march_ms": round(ms1 - ms1_pre, 2),
+                "gather_rounds": rounds1,
+                "ms_per_round": round(max(ms1 - ms1_pre, 0.0) / rounds1, 2),
             },
         }
     )

@@ -74,7 +74,11 @@ def run(label, guided=True, **kw):
 
 
 run("unguided (floor)    ", guided=False)
-run("default             ", guided=True)
-run("quality knob nw=8   ", guided=True, n_window=8, n_cells=3)
-run("saturated nw=32     ", guided=True, n_window=32, n_cells=4)
-run("old union m150      ", guided=True, split_brackets=False, n_cells=2, margin_abs=150.0)
+run("guard nw=6          ", guided=True)
+run("guard nw=4          ", guided=True, n_window=4)
+run("guard nw=4 ng=1     ", guided=True, n_window=4, nw_guard=1)
+run("guard nw=6 ng=1     ", guided=True, nw_guard=1)
+run("guard nw=4 nc=3     ", guided=True, n_window=4, n_cells=3)
+run("bs4 guard nw=4      ", guided=True, bound_stride=4, n_window=4)
+run("bs2 guard nw=4      ", guided=True, bound_stride=2, n_window=4)
+run("split nw=6 (r3 ref) ", guided=True, guard_legs=False)

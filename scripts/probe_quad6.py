@@ -33,14 +33,15 @@ W, H = 800, 450
 FOV = math.radians(45.0)
 
 
-@partial(jax.jit, static_argnames=("nw", "ss", "nc", "split", "marg"))
-def march_only(mosaic, cam, nw, ss, nc, split, marg):
+@partial(jax.jit, static_argnames=("nw", "ss", "nc", "split", "marg", "guard", "ng", "bs"))
+def march_only(mosaic, cam, nw, ss, nc, split, marg, guard=False, ng=2, bs=4):
     (dx, dy, dz), fwd = rc.camera_rays(cam, W, H)
     eye = jnp.asarray(cam.eye, jnp.float32)
     return rc.march_guided_panorama(
         mosaic, eye, (dx, dy, dz), fwd, n_steps=1024, n_refine=18,
         fov_hint=FOV, aspect=W / H, n_window=nw, supersample=ss, n_cells=nc,
         split_brackets=split, margin_abs=marg,
+        guard_legs=guard, nw_guard=ng, bound_stride=bs,
     )
 
 
@@ -67,18 +68,22 @@ def main():
         Camera(eye=eye_at(46.6, 22.5, 1400.0), pitch=-0.10, yaw=-0.6),
     ]
 
-    # (label, nw, ss, nc, split, marg)
+    # (label, nw, ss, nc, split, marg, guard, ng, bs) — round-4 guard-leg
+    # candidates vs the round-3 shipped split march (CPU-oracle numbers in
+    # probe_parity_scale2/probe_steep_pitch logs; this gates TPU flips +
+    # back-to-back time).
     variants = [
-        ("pre-split default nw=6 nc=2 m150", 6, 1.1, 2, False, 150.0),
-        ("SHIPPED default nw=6 nc=3 m25", 6, 1.1, 3, True, 25.0),
-        ("quality knob nw=8 nc=3 m25", 8, 1.1, 3, True, 25.0),
+        ("r3 shipped split nw=6 nc=2 m25", 6, 1.1, 2, True, 25.0, False, 2, 4),
+        ("v2 guard nw=4 ng=2 bs4", 4, 1.1, 2, True, 25.0, True, 2, 4),
+        ("v2 guard nw=6 ng=2 bs4", 6, 1.1, 2, True, 25.0, True, 2, 4),
+        ("v2 guard nw=4 ng=2 bs1", 4, 1.1, 2, True, 25.0, True, 2, 1),
     ]
 
     for ci, cam in enumerate(cams):
         hr, tr = march_only(mosaic, cam, 16, 1.5, 4, False, 150.0)
         hr, tr = np.asarray(hr), np.asarray(tr)
-        for label, nw, ss, nc, sp, mg in variants:
-            h, t = march_only(mosaic, cam, nw, ss, nc, sp, mg)
+        for label, nw, ss, nc, sp, mg, gd, ng, bs in variants:
+            h, t = march_only(mosaic, cam, nw, ss, nc, sp, mg, gd, ng, bs)
             h, t = np.asarray(h), np.asarray(t)
             both = h & hr
             rel = np.abs(t - tr)[both] / np.maximum(tr[both], 1.0)
@@ -90,14 +95,14 @@ def main():
             )
 
     cam = cams[0]
-    for label, nw, ss, nc, sp, mg in variants:
+    for label, nw, ss, nc, sp, mg, gd, ng, bs in variants:
         bench(
             f"march {label}",
-            lambda nw=nw, ss=ss, nc=nc, sp=sp, mg=mg: march_only(
-                mosaic, cam, nw, ss, nc, sp, mg)[1].sum(),
+            lambda nw=nw, ss=ss, nc=nc, sp=sp, mg=mg, gd=gd, ng=ng, bs=bs:
+                march_only(mosaic, cam, nw, ss, nc, sp, mg, gd, ng, bs)[1].sum(),
         )
-    bench("march pre-split default (re-run)",
-          lambda: march_only(mosaic, cam, 6, 1.1, 2, False, 150.0)[1].sum())
+    bench("march r3 shipped (re-run)",
+          lambda: march_only(mosaic, cam, 6, 1.1, 2, True, 25.0)[1].sum())
     print("done", flush=True)
 
 

@@ -60,6 +60,9 @@ def main():
         mosaic, cam, width=W, height=H, n_steps=1024, n_refine=26,
         quantize_rt=False, apply_postprocess=False,
         guided=True, fov_hint=fov,
+        # The leg reconstruction below mirrors the split (non-guard) march;
+        # keep the render on the same mode so the classification matches.
+        guided_kw=(("guard_legs", False),),
     )
     err = np.abs(np.asarray(out["color"]) - c2).max(axis=-1)
     bad = err > 2.0 / 255.0

@@ -48,10 +48,14 @@ def main():
 
     ladder = [
         ("unguided", False, ()),
-        ("default nw=6 nc=2", True, ()),
-        ("nc=3", True, (("n_cells", 3),)),
-        ("nw=8 nc=3", True, (("n_window", 8), ("n_cells", 3))),
-        ("nw=32", True, (("n_window", 32),)),
+        ("guard nw=6", True, ()),
+        ("guard nw=4", True, (("n_window", 4),)),
+        ("guard nw=4 ng=1", True, (("n_window", 4), ("nw_guard", 1))),
+        ("guard nw=6 ng=1", True, (("nw_guard", 1),)),
+        ("guard nw=4 nc=3", True, (("n_window", 4), ("n_cells", 3))),
+        ("bs4 guard nw=4", True, (("bound_stride", 4), ("n_window", 4))),
+        ("bs2 guard nw=4", True, (("bound_stride", 2), ("n_window", 4))),
+        ("split nw=32 (sat)", True, (("guard_legs", False), ("n_window", 32),)),
     ]
     for name, guided, kw in ladder:
         out = render_perspective(

@@ -44,9 +44,46 @@ def _panorama_frame():
     return np.asarray(to_srgb8_image(out["color"]))
 
 
+def _guided_exact_frame():
+    """The SHIPPED exact path (web "exact" toggle / engine fast=False):
+    guided quad-track march with engine-default knobs — pins the
+    production default end to end, not just the unguided parity
+    configuration."""
+    import dataclasses
+    import math
+
+    from tests.helpers import east_at, small_scene, yaw_towards
+    from topo_renderer_tpu.ops.raycast import render_perspective
+    from topo_renderer_tpu.ops.shading import to_srgb8_image
+
+    mosaic, cam, _ = small_scene(n=49, span_deg=0.04, height_above=500.0)
+    cam = dataclasses.replace(
+        cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.06
+    )
+    out = render_perspective(
+        mosaic, cam, width=96, height=64, n_steps=384, n_refine=16,
+        guided=True, fov_hint=math.radians(45.0),
+    )
+    return np.asarray(to_srgb8_image(out["color"]))
+
+
+def _labeled_frame():
+    """The composited label frame through the production engine path
+    (fused frame + label visibility + greedy layout + overlay) — the
+    layout is deterministic, so the full label pipeline pins."""
+    from tests.test_engine import build_engine
+
+    engine, cam, _tile = build_engine()
+    res = engine.render(cam, 160, 100, n_steps=256, n_refine=8)
+    assert res.layouts, "label layout must be non-empty for the golden"
+    return np.asarray(res.color)
+
+
 FRAMES = {
     "perspective_96x64": _perspective_frame,
     "panorama_128x48": _panorama_frame,
+    "guided_exact_96x64": _guided_exact_frame,
+    "labeled_160x100": _labeled_frame,
 }
 
 
@@ -72,6 +109,14 @@ def test_golden_perspective():
 
 def test_golden_panorama():
     _check("panorama_128x48", FRAMES["panorama_128x48"])
+
+
+def test_golden_guided_exact():
+    _check("guided_exact_96x64", FRAMES["guided_exact_96x64"])
+
+
+def test_golden_labeled():
+    _check("labeled_160x100", FRAMES["labeled_160x100"])
 
 
 if __name__ == "__main__":

@@ -2,15 +2,12 @@
 
 The suite's main oracle gate (`test_parity_independent.py`) runs at
 160x100, where the silhouette tail measured a single fill-rule pixel —
-too small to see the guided march's bracket-pooling behavior. Late round
-3 measured the tail at 800x450 (0.22% of pixels outside 2/255 with the
-then-default union pooling; see PARITY.md "Parity at production frame
-size") and shipped split-bracket pooling + a 25 m margin to cut it to
-0.089%. This test pins that at a 400x225 / denser-scene operating point
-(~50 s of CPU, vs ~3 min at full size): measured 0.139% guided / 0.079%
-unguided (the marcher-vs-rasterizer fill-rule floor); the pre-fix union
-pooling measured ~2x worse. Gates at ~1.8x the measured values so normal
-f32 jitter passes but a pooling/margin regression fails.
+too small to see the guided march's bracket-pooling behavior. These two
+tests pin the 800x450-class behavior at a 400x225 operating point (~50 s
+of CPU vs ~3 min at full size): the production-scene tail (round 3:
+union pooling 0.22% -> split pooling 0.12%; round 4: own-texel sure leg
++ END-keyed selection 0.08-0.10% at 800x450 — PARITY.md "Round 4") and
+the once-pathological steep patch-edge scene (2.3% -> 0.30%).
 """
 
 import dataclasses
@@ -41,7 +38,11 @@ def test_parity_tail_at_scale():
     )
     assert (d2 < 1.0).mean() > 0.5  # scene sanity: mostly terrain
 
-    for guided, gate in ((True, 0.0025), (False, 0.0015)):
+    # Round-4 defaults (own-leg guard march, nw=4) measure 0.243% guided /
+    # 0.079% unguided here; the nw=6 quality rung measures 0.153%. Gates at
+    # ~1.6x measured so f32 jitter passes but a pooling/selection/margin
+    # regression fails.
+    for guided, gate in ((True, 0.004), (False, 0.0015)):
         out = render_perspective(
             mosaic, cam, width=W, height=H, n_steps=1024, n_refine=26,
             quantize_rt=False, apply_postprocess=False,
@@ -57,16 +58,15 @@ def test_parity_tail_at_scale():
 
 
 def test_parity_steep_pitch_characterized():
-    """Pin the characterized steep-pitch / patch-edge weakness.
+    """Pin the steep-pitch / patch-edge scene (FIXED in round 4).
 
-    A steep look-down at a small patch (rays grazing the mosaic's far
-    edge) fattens the prepass's far-silhouette brackets and the guided
-    tail grows to ~2% at this operating point (see PARITY.md "Known
-    scoped weakness"); the dense march stays at the fill-rule floor.
-    Gates at ~1.6x the measured values: a prepass or
-    pooling regression that doubles the tail fails here, and so does a
-    fix that breaks the floor. Round 4 wants the guided gate pushed
-    toward the floor (tighten the exact-profile brackets prepass-side).
+    Round 3 characterized a ~2% guided tail here (conservative-bound
+    backward drag starving the window resolution); the round-4 own-texel
+    sure leg + bracket-END-keyed selection collapse it to 0.30% at
+    default knobs (dense floor 0.02%; PARITY.md "Round 4: the own-texel
+    sure leg"). Gates at ~1.6x measured — the round-3 verdict's done bar
+    was <=0.5%, and a selection/leg regression that reverts toward the
+    old 2% fails loudly.
     """
     mosaic, cam, _tile = small_scene(n=73, span_deg=0.06, height_above=1200.0)
     cam = dataclasses.replace(
@@ -82,7 +82,7 @@ def test_parity_steep_pitch_characterized():
     )
     assert 0.02 < (d2 < 1.0).mean() < 0.6  # steep strip, mostly sky
 
-    for guided, gate in ((True, 0.035), (False, 0.003)):
+    for guided, gate in ((True, 0.005), (False, 0.003)):
         out = render_perspective(
             mosaic, cam, width=W, height=H, n_steps=1024, n_refine=26,
             quantize_rt=False, apply_postprocess=False,

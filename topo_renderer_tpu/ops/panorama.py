@@ -793,11 +793,12 @@ def render_batch_scan(mosaic, eyes, suns, spec: PanoramaSpec, view_mode=0,
     return colors
 
 
-@partial(jax.jit, static_argnames=("spec", "seg", "conservative", "col_shuffle", "k_back"))
+@partial(jax.jit, static_argnames=(
+    "spec", "seg", "conservative", "col_shuffle", "k_back", "bound_stride"))
 def panorama_crossing_prepass(
     mosaic, eye, spec: PanoramaSpec, azimuth_offset=0.0, elev_offset=0.0,
     *, seg: int = 64, conservative: bool = True, col_shuffle: bool = True,
-    k_back: int = 1 << 20,
+    k_back: int = 1 << 20, bound_stride: int = 1,
 ):
     """Exact-profile crossing distances only — the guided perspective
     march's prepass (`ops/raycast.py::march_guided_panorama`).
@@ -832,8 +833,24 @@ def panorama_crossing_prepass(
     narrower than the step spacing can no longer hide between prepass
     samples (the round-2 silhouette-tail mechanism).
 
-    Returns ``{"d_lo", "d_hi", "hit"}`` — per-pixel metric distance bounds
-    of the crossing, FAR where sky.
+    Returns ``{"d_lo", "d_me", "d_hi", "hit", "hit_exact"}`` — per-pixel
+    metric distance bounds of the crossing, FAR where sky. ``d_me`` splits
+    the bracket into its two qualitatively different parts (round-4 guided
+    march, `ops/raycast.py::march_guided_panorama` guard/exact legs):
+
+      * ``[d_me, d_hi]`` is the SURE interval: where the exact profile
+        crossed (``hit_exact``), the texel ray's first sampled-profile
+        crossing provably lies between samples kstar-1 and kstar — ONE
+        log step wide;
+      * ``[d_lo, d_me]`` is the GUARD interval: the conservative bound's
+        backward drag, where terrain could hide between profile samples.
+        On steep look-downs the dilated bound inflates this by ~1.5 km
+        (measured, scripts/probe_steep_diag.py) while the sure interval
+        stays ~2 steps — marching them with one uniform budget starved
+        the sure crossing, which was the whole round-3 steep-pitch tail.
+
+    Bound-only texels (``hit & ~hit_exact``) have no sure interval:
+    ``d_me == d_hi`` there, so their whole bracket is guard.
     """
     import numpy as _np
 
@@ -924,23 +941,38 @@ def panorama_crossing_prepass(
         parts.append(jnp.where(ok, y / x, NEG))
 
         if conservative and n_levels and s_np[k1 - 1] >= 32.0 * texel:
-            # Bound profile at 1/4 the step rate: sample the dilated max
-            # pyramid two levels coarser (dilation 2^(lv+2) >= 4 steps'
-            # ground travel, so one sample bounds its whole 4-group), and
-            # evaluate the ratio at the group's FIRST sigma — the elevation
-            # ratio of a fixed height is monotone decreasing in sigma, so
-            # the repeated value upper-bounds every step in the group.
+            # Bound profile, sampled every ``bound_stride`` steps from the
+            # dilated max pyramid at the level whose dilation covers the
+            # sample gap: level L's 1-texel dilation ring bounds terrain
+            # within +-2^L base texels of the sampled texel, and the
+            # per-step ground travel is <= 2^lvl texels by construction, so
+            # level lvl + log2(stride) dominates everything a stride-group
+            # traverses. Strided groups evaluate the ratio at the group's
+            # FIRST sigma — the elevation ratio of a fixed height is
+            # monotone decreasing in sigma, so the repeated value
+            # upper-bounds every step in the group. stride=1 (the default
+            # since round 4) samples at full rate and level lvl: 4x
+            # narrower lateral max-pooling than the old stride-4/lvl+2
+            # bound, which on steep look-downs at small patches was the
+            # ~1.5 km conservative drag behind the guided parity tail
+            # (scripts/probe_steep_pitch.py: the bound's backward drag set
+            # the march leg width, starving window resolution).
             # Near segments (step spacing < ~1/3 texel) skip the bound: the
             # exact profile samples every triangle piece there, and the
             # coarse dilated bound would otherwise drag d_lo to ~0 for every
             # ray passing near terrain, blowing the march brackets wide.
-            lv = min(int(lvl_np[k0:k1].max()) + 2, n_levels)
-            hb = _sample_hmax(mosaic, lv, gx[::4], gy[::4])
+            bs = bound_stride
+            lv = min(
+                int(lvl_np[k0:k1].max()) + (bs - 1).bit_length(), n_levels
+            )
+            hb = _sample_hmax(mosaic, lv, gx[::bs], gy[::bs])
             okb = hb > 0.5 * INVALID_HEIGHT
-            yb = hb * cs[::4] - a0 - sh2[::4]
-            xb = (R0 + hb) * sn[::4]
+            yb = hb * cs[::bs] - a0 - sh2[::bs]
+            xb = (R0 + hb) * sn[::bs]
             rb = jnp.where(okb, yb / xb, NEG)
-            parts_b.append(jnp.repeat(rb, 4, axis=0)[: k1 - k0])
+            if bs > 1:
+                rb = jnp.repeat(rb, bs, axis=0)[: k1 - k0]
+            parts_b.append(rb)
         elif conservative and n_levels:
             parts_b.append(jnp.full((k1 - k0, W), NEG))
 
@@ -1061,12 +1093,26 @@ def panorama_crossing_prepass(
         )
     else:
         d_hi = jnp.where(hit_exact, jnp.maximum(ray_dist(sig_hi), d_lo), FAR)
+    # Sure-interval start: the texel ray is above the exact profile at
+    # sample kstar-1 and at/below it at kstar, so its sampled-profile
+    # crossing lies in [sig(kstar-1), sig(kstar)]. Clamped into [d_lo,
+    # d_hi]; bound-only texels carry d_me = d_hi (all guard, no sure part).
+    sig_me = jnp.where(kstar > 0, sigma_of(jnp.maximum(kstar - 1.0, 0.0)), 0.0)
+    d_me = jnp.where(
+        hit_exact,
+        jnp.clip(ray_dist(sig_me), d_lo, d_hi),
+        d_hi,
+    )
     if col_shuffle:
         def ush(a):
             return a.reshape(H, W // 8, 8).transpose(0, 2, 1).reshape(H, W)
 
-        d_lo, d_hi, hit = ush(d_lo), ush(d_hi), ush(hit)
-    return {"d_lo": d_lo, "d_hi": d_hi, "hit": hit}
+        d_lo, d_me, d_hi = ush(d_lo), ush(d_me), ush(d_hi)
+        hit, hit_exact = ush(hit), ush(hit_exact)
+    return {
+        "d_lo": d_lo, "d_me": d_me, "d_hi": d_hi,
+        "hit": hit, "hit_exact": hit_exact,
+    }
 
 
 def _build_lod_profile(mosaic, spec: PanoramaSpec, windows, a0, up, h_prof_b, sigma):

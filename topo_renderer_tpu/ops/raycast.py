@@ -865,6 +865,137 @@ def _window_march_quad2(mosaic, eye, dirs, legs, any_hit, *,
     return found, t_lo + u_star * span
 
 
+def _window_march_quad3(mosaic, eye, dirs, legs, any_hit, *,
+                        n_cells: int, margin_rel: float, margin_abs: float):
+    """Guard + exact-cluster variant of `_window_march_quad2`.
+
+    ``legs`` is ``((tG0, tG1, nw_g), (tA0, tA1, nw_a), (tB0, tB1, nw_b))``
+    — per-pixel interval triples with STATIC per-leg step counts, from the
+    guard/exact pooling in `march_guided_panorama`:
+
+      * G is the best-effort GUARD: the conservative bound's backward
+        drag (+ bound-only possibility spans), km-wide on steep
+        look-downs, where hits are possible but rare (terrain hidden
+        between profile samples);
+      * A and B are the SURE exact-profile crossing clusters, ~one
+        prepass step wide each, where ~all real crossings live.
+
+    The round-3 two-cluster march spent one uniform budget across the
+    union, so a 1.5 km guard drag starved the one-step sure interval to
+    ~580 m effective steps (measured: 100% of the steep-pitch tail was
+    in-leg resolution starvation, scripts/probe_steep_diag.py). Here the
+    sure legs are narrow enough that ``nw + cell-walk`` resolves them
+    EXACTLY, and the guard keeps the same best-effort density it always
+    had. Earliest-crossing selection across the three legs preserves
+    first-crossing semantics; one analytic cell walk refines the winner.
+    """
+    dx, dy, dz = dirs
+    e_norm = jnp.linalg.norm(eye)
+    a0 = e_norm - R0
+    hmax = mosaic.hmax + 1.0
+    r_shell = R0 + hmax
+    b = dx * eye[0] + dy * eye[1] + dz * eye[2]
+    c = (a0 - hmax) * (e_norm + r_shell)
+    c0 = a0 * (e_norm + R0)
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inside = c <= 0.0
+    t_enter = jnp.where(inside, 0.0, -b - sq)
+    t_exit = -b + sq
+    feasible = (disc > 0.0) & (t_exit > 0.0)
+    t0 = jnp.maximum(t_enter, 0.0)
+    t1 = jnp.where(feasible, jnp.minimum(t_exit, FAR), 0.0)
+
+    def quad(g0, gm, g1):
+        cq = 2.0 * g0 - 4.0 * gm + 2.0 * g1
+        bq = -3.0 * g0 + 4.0 * gm - g1
+        return g0, bq, cq
+
+    def at(q, u):
+        return q[0] + u * (q[1] + u * q[2])
+
+    def leg(t_min, t_max, active, nw):
+        t_lo = jnp.clip(t_min * (1.0 - margin_rel) - margin_abs, t0, t1)
+        t_hi = jnp.clip(t_max * (1.0 + margin_rel) + margin_abs, t_lo, t1)
+        span = t_hi - t_lo
+        g0x, g0y, g0a = _track_raster(mosaic, eye, dirs, c0, b, t_lo)
+        gmx, gmy, gma = _track_raster(mosaic, eye, dirs, c0, b,
+                                      t_lo + 0.5 * span)
+        g1x, g1y, g1a = _track_raster(mosaic, eye, dirs, c0, b, t_hi)
+        qx = quad(g0x, gmx, g1x)
+        qy = quad(g0y, gmy, g1y)
+        qa = quad(g0a, gma, g1a)
+
+        def f_at(u):
+            return at(qa, u) - _cell_h(mosaic, at(qx, u), at(qy, u))
+
+        du = jnp.where(active, 1.0 / nw, 0.0)
+        f0 = f_at(jnp.zeros_like(t_lo))
+        hit0 = active & (f0 <= 0.0)
+
+        def body(k, state):
+            found, u_a, u_b, f_prev, f_a, f_b = state
+            u_k = du * k
+            f_k = f_at(u_k)
+            crossing = active & (~found) & (f_prev > 0.0) & (f_k <= 0.0)
+            u_a = jnp.where(crossing, u_k - du, u_a)
+            u_b = jnp.where(crossing, u_k, u_b)
+            f_a = jnp.where(crossing, f_prev, f_a)
+            f_b = jnp.where(crossing, f_k, f_b)
+            return found | crossing, u_a, u_b, f_k, f_a, f_b
+
+        zero = jnp.zeros_like(t_lo)
+        found, u_a, u_b, _, f_a, f_b = jax.lax.fori_loop(
+            1, nw + 1, body,
+            (hit0, zero, jnp.where(hit0, zero, jnp.ones_like(t_lo)),
+             f0, f0, f0),
+        )
+        # Flat tuple so the selection below can jnp.where elementwise.
+        return (
+            found, hit0, u_a, u_b, f_a, f_b,
+            at(qx, u_a), at(qy, u_a), at(qa, u_a),
+            at(qx, u_b), at(qy, u_b), at(qa, u_b),
+            t_lo, span,
+        )
+
+    outs = [
+        leg(lo_, hi_, any_hit, nw_) for (lo_, hi_, nw_) in legs
+    ]
+
+    # Earliest-crossing selection across the legs, keyed on the bracket
+    # END (t_lo + u_b * span), not the start. For the SAME crossing seen
+    # by a coarse pooled leg (bin width ~span/nw) and a narrow leg, the
+    # narrow bracket's end is earlier -> the tighter bracket wins and the
+    # cell walk gets a resolvable interval; for genuinely distinct
+    # crossings the earlier one's end precedes the later one's start, so
+    # first-crossing semantics hold. (Start-keyed selection handed
+    # overlapping detections to the WIDE bracket — measured on the steep
+    # patch-edge scene as the whole remaining tail: the own-texel sure
+    # leg bracketed the crossing to ~40 m but the ~500 m pooled bin
+    # started earlier and won, and the walk could not resolve it.)
+    def bracket_end(o):
+        return o[12] + o[3] * o[13]  # t_lo + u_b * span
+
+    cur = outs[0]
+    cur_end = bracket_end(cur)
+    for o in outs[1:]:
+        o_end = bracket_end(o)
+        use_new = o[0] & ((~cur[0]) | (o_end < cur_end))
+        cur = tuple(
+            jnp.where(use_new, n, c_) for n, c_ in zip(o, cur)
+        )
+        cur_end = jnp.where(use_new, o_end, cur_end)
+
+    found, hit0, u_a, u_b, f_a, f_b = cur[:6]
+    ends = cur[6:12]
+    t_lo, span = cur[12], cur[13]
+    active = found & (~hit0) & (u_b > u_a)
+    v = _cell_walk_core(mosaic, ends, f_a, f_b, active, n_cells=n_cells)
+    u_star = jnp.where(active, u_a + v * (u_b - u_a),
+                       jnp.where(hit0, 0.0, u_b))
+    return found, t_lo + u_star * span
+
+
 def _window_march(mosaic, eye, dirs, t_min, t_max, any_hit, *,
                   n_window: int, n_refine: int, margin_rel: float,
                   margin_abs: float):
@@ -996,6 +1127,29 @@ def march_guided(
     )
 
 
+def guided_march_rounds(
+    *,
+    n_window: int = 4,
+    n_cells: int = 2,
+    guard_legs: bool = True,
+    nw_guard: int = 2,
+    split_brackets: bool = True,
+) -> int:
+    """Per-pixel table-gather ROUND count of the guided march's window
+    phase, exported for the bench's stage decomposition (round-3 verdict:
+    derive stage math from the engine, never re-derive it bench-side).
+    Each window f-eval and each analytic cell-walk step is one packed
+    cell-row gather — the march's unit of cost on this TPU (march-pattern
+    gathers run at the duplicated-lane rate regardless of table layout;
+    NOTES.md "gather-rate ground truth")."""
+    nw_leg = max(n_window // 2, 2)
+    if guard_legs:
+        return 2 * (nw_leg + 1) + (nw_guard + 1) + n_cells
+    if split_brackets:
+        return 2 * (nw_leg + 1) + n_cells
+    return n_window + 1 + n_cells
+
+
 def guided_prepass_spec(
     *,
     height: int,
@@ -1047,14 +1201,17 @@ def march_guided_panorama(
     n_refine: int,
     fov_hint: float,
     aspect: float,
-    n_window: int = 6,
+    n_window: int = 4,
     supersample: float = 1.1,
     analytic_refine: bool = True,
     n_cells: int = 2,
     split_brackets: bool = True,
+    guard_legs: bool = True,
+    nw_guard: int = 2,
     margin_rel: float = 0.01,
     margin_abs: float = 25.0,
     prepass_k_back: int = 1 << 20,
+    bound_stride: int = 4,
 ):
     """Exact march with t-ranges from an exact-panorama profile prepass.
 
@@ -1073,22 +1230,24 @@ def march_guided_panorama(
     samples (~34 gathers/pixel vs 1024 for the uniform march — sub-bracket
     window widths need few uniform steps).
 
-    Default budget (``split_brackets=True, n_window=6, n_cells=2,
-    margin_abs=25``), gated against the WGSL rasterizer oracle at 800x450
-    (scripts/probe_parity_scale2.py) and against the conservative
-    nw=16/ss=1.5 march on production-scale TPU scenes
-    (scripts/probe_quad6.py): the split two-cluster pooling + tight
-    margin cut pixels deviating >2/255 from the oracle 1.8x (0.22% ->
-    0.12%; the dense-march floor is 0.044%) at ~equal TPU frame time
-    (85.6 vs 85.2 ms back-to-back one-process). The measured quality
-    ladder via ``guided_kw``: ``n_cells=3`` 0.089% at 94.8 ms;
-    ``n_window=8, n_cells=3`` 0.083% at 105.6 ms; saturation (nw=32)
-    reaches the floor — the residual is pure window resolution, split
-    coverage is complete. The 25 m absolute margin suffices because the
-    3x3 pooled brackets already absorb inter-texel angular deviation and
+    Default budget (round 4: ``guard_legs=True, n_window=4, nw_guard=2,
+    n_cells=2, margin_abs=25`` — two split pooled legs of 2 steps + the
+    2-step own-texel sure leg = 11 gather rounds/pixel,
+    `guided_march_rounds`), gated against the WGSL rasterizer oracle
+    (scripts/probe_parity_scale2.py, probe_steep_pitch.py) and against
+    the conservative nw=16/ss=1.5 march on production-scale TPU scenes
+    (scripts/probe_quad6.py). Measured tails (pixels >2/255 vs oracle):
+    800x450 production scene 0.096% (dense-march floor 0.044%; round-3
+    default was 0.12% and its best paid rung 0.083%); steep patch-edge
+    scene 0.30% (was 2.3%; floor 0.02%). Quality ladder via
+    ``guided_kw``: ``n_window=6`` 0.081% / 0.284% at 13 rounds;
+    saturation (nw=32) reaches the floors — coverage is complete, the
+    residual is window resolution. The 25 m absolute margin suffices
+    because the pooled brackets absorb inter-texel angular deviation and
     the prepass bracket ends are conservative per texel; 150 m was
     measured to be the binding resolution loss on narrow silhouette
-    intervals.
+    intervals. See PARITY.md "Round 4: the own-texel sure leg" for the
+    diagnosis that shaped the leg structure and the END-keyed selection.
     """
     from topo_renderer_tpu.ops.panorama import panorama_crossing_prepass
 
@@ -1129,7 +1288,7 @@ def march_guided_panorama(
     wp, hp = spec_pre.width, spec_pre.height
     pre = panorama_crossing_prepass(
         mosaic, eye, spec_pre, azimuth_offset=az_c, elev_offset=el_c,
-        k_back=prepass_k_back,
+        k_back=prepass_k_back, bound_stride=bound_stride,
     )
 
     BIG = jnp.float32(3.0e38)
@@ -1153,6 +1312,61 @@ def march_guided_panorama(
     gy = (jnp.float32(half_win) - (el - el_c)) / jnp.float32(2.0 * half_win) * hp - 0.5
     ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, wp - 1)
     iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, hp - 1)
+
+    if use_quad and guard_legs:
+        # Split pooled legs + an UN-POOLED own-texel sure leg (round 4).
+        # Diagnosis on the steep patch-edge scene with the tight
+        # (full-rate, level-matched) conservative bound
+        # (scripts/probe_steep_diag.py): 100% of oracle deviations were
+        # in-leg resolution starvation — no bracket misses — and for
+        # 99.4% of them the true crossing sat inside the pixel's OWN
+        # prepass texel's bracket, essentially AT its exact-profile end
+        # d_hi (offset p50 = leg width p50 ~1.4 km). The 3x3 pooling that
+        # makes the march robust to the pixel/texel angular offset is
+        # exactly what starves it: pooled leg widths are km-scale where
+        # the own texel's sure interval [d_me, d_hi]
+        # (`panorama_crossing_prepass`) is ONE log step (~1% of
+        # distance). So march THREE legs:
+        #   * the two split pooled cluster legs (unchanged coverage /
+        #     conservativeness — every neighbor bracket is still fully
+        #     contained in their union);
+        #   * the own texel's [d_me, d_hi] with ``nw_guard`` steps —
+        #     narrow enough that nw + the analytic cell walk resolves
+        #     the common case exactly.
+        # Earliest-crossing selection keeps first-crossing semantics; the
+        # own leg is listed LAST so ties resolve to the pooled legs.
+        m, m_hi, a_max, b_min, b_max = _grouped_bracket_pools(d_lo, d_hi)
+        uni_hi = jnp.maximum(a_max, b_max)
+        uni_hi = jnp.where(bound_only | (uni_hi <= 0.0), FAR, uni_hi)
+        b_max_eff = jnp.where(bound_only, FAR, b_max)
+        split = (a_max > 0.0) & (b_min < BIG) & (b_max_eff > b_min)
+        tA1 = jnp.where(split, a_max, uni_hi)
+        nw_leg = max(n_window // 2, 2)
+        tB0 = jnp.where(
+            split,
+            jnp.maximum(b_min, a_max),
+            m + (uni_hi - m) * (0.5 / nw_leg),
+        )
+        tB1 = jnp.where(split, jnp.maximum(b_max_eff, tB0), uni_hi)
+        # Own-texel sure leg; where the own texel is sky, degenerate to
+        # the pooled near start (duplicate coverage, never a new hit
+        # class — margins treat it exactly like leg A's start).
+        own_hit = pre["hit"]
+        own0 = jnp.where(own_hit, pre["d_me"], m)
+        own1 = jnp.where(own_hit, pre["d_hi"], m)
+        packed = jnp.stack(
+            [m, tA1, tB0, tB1, own0, own1], axis=-1
+        ).reshape(-1, 6)
+        rows = packed[iy * wp + ix]
+        legs = (
+            (rows[..., 0], rows[..., 1], nw_leg),
+            (rows[..., 2], rows[..., 3], nw_leg),
+            (rows[..., 4], rows[..., 5], nw_guard),
+        )
+        return _window_march_quad3(
+            mosaic, eye, dirs, legs, rows[..., 0] < BIG,
+            n_cells=n_cells, margin_rel=margin_rel, margin_abs=margin_abs,
+        )
 
     if use_quad and split_brackets:
         # Two-cluster pooling (see `_grouped_bracket_pools`): the march
