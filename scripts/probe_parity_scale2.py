@@ -74,11 +74,8 @@ def run(label, guided=True, **kw):
 
 
 run("unguided (floor)    ", guided=False)
-run("guard nw=6          ", guided=True)
-run("guard nw=4          ", guided=True, n_window=4)
-run("guard nw=4 ng=1     ", guided=True, n_window=4, nw_guard=1)
-run("guard nw=6 ng=1     ", guided=True, nw_guard=1)
-run("guard nw=4 nc=3     ", guided=True, n_window=4, n_cells=3)
-run("bs4 guard nw=4      ", guided=True, bound_stride=4, n_window=4)
-run("bs2 guard nw=4      ", guided=True, bound_stride=2, n_window=4)
-run("split nw=6 (r3 ref) ", guided=True, guard_legs=False)
+run("DEFAULT nw=6 ss1.0  ", guided=True)
+run("nw=4 (11 rounds)    ", guided=True, n_window=4)
+run("union nw=3 (9 rnds) ", guided=True, split_brackets=False, n_window=3)
+run("r3 split (no own)   ", guided=True, guard_legs=False, supersample=1.1)
+run("saturated nw=32     ", guided=True, n_window=32)

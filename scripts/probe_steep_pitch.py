@@ -48,14 +48,13 @@ def main():
 
     ladder = [
         ("unguided", False, ()),
-        ("guard nw=6", True, ()),
-        ("guard nw=4", True, (("n_window", 4),)),
-        ("guard nw=4 ng=1", True, (("n_window", 4), ("nw_guard", 1))),
-        ("guard nw=6 ng=1", True, (("nw_guard", 1),)),
-        ("guard nw=4 nc=3", True, (("n_window", 4), ("n_cells", 3))),
-        ("bs4 guard nw=4", True, (("bound_stride", 4), ("n_window", 4))),
-        ("bs2 guard nw=4", True, (("bound_stride", 2), ("n_window", 4))),
-        ("split nw=32 (sat)", True, (("guard_legs", False), ("n_window", 32),)),
+        ("DEFAULT nw=6 ss1.0", True, ()),
+        ("nw=4 (11 rounds)", True, (("n_window", 4),)),
+        ("union nw=3 (9 rnds)", True,
+         (("split_brackets", False), ("n_window", 3))),
+        ("r3 split (no own)", True,
+         (("guard_legs", False), ("supersample", 1.1))),
+        ("saturated nw=32", True, (("n_window", 32),)),
     ]
     for name, guided, kw in ladder:
         out = render_perspective(

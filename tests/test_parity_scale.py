@@ -38,11 +38,11 @@ def test_parity_tail_at_scale():
     )
     assert (d2 < 1.0).mean() > 0.5  # scene sanity: mostly terrain
 
-    # Round-4 defaults (own-leg guard march, nw=4) measure 0.243% guided /
-    # 0.079% unguided here; the nw=6 quality rung measures 0.153%. Gates at
-    # ~1.6x measured so f32 jitter passes but a pooling/selection/margin
-    # regression fails.
-    for guided, gate in ((True, 0.004), (False, 0.0015)):
+    # Round-4 defaults (own-leg guard march, nw=6, ss=1.0) measure 0.136%
+    # guided / 0.079% unguided here — within 2x of the fill-rule floor
+    # (round-3 verdict item 3's bar). Gates at ~1.7x measured so f32
+    # jitter passes but a pooling/selection/margin regression fails.
+    for guided, gate in ((True, 0.0024), (False, 0.0015)):
         out = render_perspective(
             mosaic, cam, width=W, height=H, n_steps=1024, n_refine=26,
             quantize_rt=False, apply_postprocess=False,

@@ -115,6 +115,21 @@ def test_interactive_freefly_session(frontend):
     )
     assert status == 200 and jpg_exact[:2] == b"\xff\xd8"
 
+    # Reduced-byte transport knob (the browser's "low-bw" checkbox): the
+    # half-resolution yuv420 wire pull still serves a full-size JPEG.
+    status, jpg_half, _h = _post(
+        base,
+        f"/frame?session={sid}",
+        {"events": [], "width": 96, "height": 64, "force": True,
+         "pixfmt": "yuv420_half"},
+    )
+    assert status == 200 and jpg_half[:2] == b"\xff\xd8"
+    import io
+
+    from PIL import Image
+
+    assert Image.open(io.BytesIO(jpg_half)).size == (96, 64)
+
     # Unknown session id -> 410 Gone so the client re-establishes.
     req = urllib.request.Request(
         base + "/frame?session=deadbeef",

@@ -1129,7 +1129,7 @@ def march_guided(
 
 def guided_march_rounds(
     *,
-    n_window: int = 4,
+    n_window: int = 6,
     n_cells: int = 2,
     guard_legs: bool = True,
     nw_guard: int = 2,
@@ -1156,7 +1156,7 @@ def guided_prepass_spec(
     fov_hint: float,
     aspect: float,
     n_steps: int = 1024,
-    supersample: float = 1.1,
+    supersample: float = 1.0,
 ):
     """The guided march's ACTUAL prepass geometry, exported.
 
@@ -1201,8 +1201,8 @@ def march_guided_panorama(
     n_refine: int,
     fov_hint: float,
     aspect: float,
-    n_window: int = 4,
-    supersample: float = 1.1,
+    n_window: int = 6,
+    supersample: float = 1.0,
     analytic_refine: bool = True,
     n_cells: int = 2,
     split_brackets: bool = True,
@@ -1230,19 +1230,23 @@ def march_guided_panorama(
     samples (~34 gathers/pixel vs 1024 for the uniform march — sub-bracket
     window widths need few uniform steps).
 
-    Default budget (round 4: ``guard_legs=True, n_window=4, nw_guard=2,
-    n_cells=2, margin_abs=25`` — two split pooled legs of 2 steps + the
-    2-step own-texel sure leg = 11 gather rounds/pixel,
+    Default budget (round 4: ``guard_legs=True, n_window=6, nw_guard=2,
+    n_cells=2, margin_abs=25, supersample=1.0`` — two split pooled legs
+    of 3 steps + the 2-step own-texel sure leg = 13 gather rounds/pixel,
     `guided_march_rounds`), gated against the WGSL rasterizer oracle
     (scripts/probe_parity_scale2.py, probe_steep_pitch.py) and against
     the conservative nw=16/ss=1.5 march on production-scale TPU scenes
-    (scripts/probe_quad6.py). Measured tails (pixels >2/255 vs oracle):
-    800x450 production scene 0.096% (dense-march floor 0.044%; round-3
-    default was 0.12% and its best paid rung 0.083%); steep patch-edge
-    scene 0.30% (was 2.3%; floor 0.02%). Quality ladder via
-    ``guided_kw``: ``n_window=6`` 0.081% / 0.284% at 13 rounds;
-    saturation (nw=32) reaches the floors — coverage is complete, the
-    residual is window resolution. The 25 m absolute margin suffices
+    (scripts/probe_quad6.py). Measured tails (pixels >2/255 vs oracle),
+    all within 2x of the dense-march floors: 800x450 production scene
+    0.082% (floor 0.044%; round-3 default was 0.12% and its best paid
+    rung 0.083%); 400x225 suite scene 0.136% (floor 0.079%); steep
+    patch-edge scene 0.30% (was 2.3%; floor 0.02%). supersample 1.1 ->
+    1.0 measured quality-neutral on every gated scene with the own-leg
+    design (-17% prepass cost). Cheaper rungs via ``guided_kw``:
+    ``n_window=4`` 11 rounds (0.106/0.247/0.307);
+    ``split_brackets=False, n_window=3`` = union+own, 9 rounds
+    (0.128/0.159/0.281); saturation (nw=32) reaches the floors —
+    coverage is complete, the residual is window resolution. The 25 m absolute margin suffices
     because the pooled brackets absorb inter-texel angular deviation and
     the prepass bracket ends are conservative per texel; 150 m was
     measured to be the binding resolution loss on narrow silhouette
@@ -1338,6 +1342,30 @@ def march_guided_panorama(
         m, m_hi, a_max, b_min, b_max = _grouped_bracket_pools(d_lo, d_hi)
         uni_hi = jnp.maximum(a_max, b_max)
         uni_hi = jnp.where(bound_only | (uni_hi <= 0.0), FAR, uni_hi)
+        # Own-texel sure leg; where the own texel is sky, degenerate to
+        # the pooled near start (duplicate coverage, never a new hit
+        # class — margins treat it exactly like leg A's start).
+        own_hit = pre["hit"]
+        own0 = jnp.where(own_hit, pre["d_me"], m)
+        own1 = jnp.where(own_hit, pre["d_hi"], m)
+        if not split_brackets:
+            # Cheapest structure: ONE union pooled leg + the own leg
+            # (``n_window`` + ``nw_guard`` steps). The union pooling that
+            # round 3 replaced (its silhouette-spanning interval was the
+            # 0.22% tail) is tolerable again because the own leg resolves
+            # the common crossing exactly; the union leg only needs to
+            # CATCH neighbor-silhouette / hidden-terrain crossings.
+            packed = jnp.stack([m, uni_hi, own0, own1], axis=-1).reshape(-1, 4)
+            rows = packed[iy * wp + ix]
+            legs = (
+                (rows[..., 0], rows[..., 1], n_window),
+                (rows[..., 2], rows[..., 3], nw_guard),
+            )
+            return _window_march_quad3(
+                mosaic, eye, dirs, legs, rows[..., 0] < BIG,
+                n_cells=n_cells, margin_rel=margin_rel,
+                margin_abs=margin_abs,
+            )
         b_max_eff = jnp.where(bound_only, FAR, b_max)
         split = (a_max > 0.0) & (b_min < BIG) & (b_max_eff > b_min)
         tA1 = jnp.where(split, a_max, uni_hi)
@@ -1348,12 +1376,6 @@ def march_guided_panorama(
             m + (uni_hi - m) * (0.5 / nw_leg),
         )
         tB1 = jnp.where(split, jnp.maximum(b_max_eff, tB0), uni_hi)
-        # Own-texel sure leg; where the own texel is sky, degenerate to
-        # the pooled near start (duplicate coverage, never a new hit
-        # class — margins treat it exactly like leg A's start).
-        own_hit = pre["hit"]
-        own0 = jnp.where(own_hit, pre["d_me"], m)
-        own1 = jnp.where(own_hit, pre["d_hi"], m)
         packed = jnp.stack(
             [m, tA1, tB0, tB1, own0, own1], axis=-1
         ).reshape(-1, 6)
