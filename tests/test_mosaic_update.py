@@ -205,3 +205,39 @@ def test_add_then_unload_before_render():
     m = eng.mosaic
     ref = _reference_build(eng, [a, b])
     _assert_mosaics_bitwise(m, ref)
+
+
+def test_two_engines_do_not_share_host_state():
+    """`MosaicHostData` hashes/eqs as a constant (so host bookkeeping can't
+    fragment the jit cache) — which meant a jitted update's CACHED output
+    treedef handed every caller the first-traced engine's host object:
+    two streaming engines in one process cross-mutated valid/cell_tile
+    (measured: the second engine's owner windows carried the first
+    engine's tile pattern — one wrong packed normal at a halo texel).
+    `apply_slot_update` now reattaches the caller's host; pin both the
+    identity and the bit-exact round trip under interleaving."""
+    eng1 = _streaming_engine()
+    a1, b1 = tile_at(0, 0), tile_at(0, 1)
+    eng1.add_terrain(a1.location, a1.heights, a1.transform)
+    eng1.add_terrain(b1.location, b1.heights, b1.transform)
+    eng1.mosaic
+    c1 = tile_at(1, 1)
+    eng1.add_terrain(c1.location, c1.heights, c1.transform)
+    eng1.mosaic
+    eng1.unload_terrain(b1.location)
+    m1 = eng1.mosaic
+
+    eng2 = _streaming_engine()
+    a2, b2 = tile_at(0, 0), tile_at(0, 1)
+    eng2.add_terrain(a2.location, a2.heights, a2.transform)
+    eng2.add_terrain(b2.location, b2.heights, b2.transform)
+    eng2.mosaic
+    c2 = tile_at(1, 0)
+    eng2.add_terrain(c2.location, c2.heights, c2.transform)
+    eng2.mosaic
+    eng2.unload_terrain(c2.location)
+    m2 = eng2.mosaic
+
+    assert m1.host is not m2.host, "engines must keep their own host state"
+    ref = _reference_build(eng2, [a2, b2])
+    _assert_mosaics_bitwise(m2, ref)

@@ -297,3 +297,90 @@ def test_sharded_slot_update_bit_matches_resharded(monkeypatch):
         )
         check(s, replicated)
     assert len(calls) == 2
+
+
+def test_engine_geo_mesh_end_to_end():
+    """`RenderEngine(geo_mesh=...)` routes EVERY path through the sharded
+    programs and bit-matches a replicated engine on the same canvas:
+    exact + fast + wire renders, label layouts, panoramas, batch, and a
+    streaming add applied against the sharded tables."""
+    from tests.test_mosaic_update import tile_at
+    from topo_renderer_tpu.geo import GeoCoord
+    from topo_renderer_tpu.models.camera import Camera
+    from topo_renderer_tpu.models.uniforms import PeakInstance
+    from topo_renderer_tpu.ops.geometry import ecef_from_geo
+    from topo_renderer_tpu.render.engine import RenderEngine
+
+    mesh = _mesh(2)
+
+    def make(geo_mesh):
+        eng = RenderEngine(streaming=True, geo_mesh=geo_mesh)
+        eng._window_table_min = 500
+        eng._shard_threshold = 10_000
+        # Align the replicated reference's canvas with the sharded one so
+        # outputs are comparable bit-for-bit.
+        eng._canvas_multiple_override = 8 * 2 * 4
+        a, b = tile_at(0, 0), tile_at(0, 1)
+        for t in (a, b):
+            eng.add_terrain(t.location, t.heights, t.transform)
+        eng.add_peaks(
+            a.location,
+            [PeakInstance(
+                position=np.asarray(ecef_from_geo(1860.0, 20.012, 48.988)),
+                name="P0",
+            )],
+        )
+        return eng
+
+    ref = make(None)
+    got = make(mesh)
+    ref.mosaic  # settle both builds
+    assert got.mosaic.sharded_rows, "engine mosaic should be row-sharded"
+    assert ref._canvas == got._canvas
+
+    cam = Camera().reset(GeoCoord(48.988, 20.006), 1700.0)
+
+    for kw in (dict(fast=False, n_steps=192, n_refine=8),
+               dict(fast=True, n_steps=128)):
+        r_ref = ref.render(cam, 96, 64, **kw)
+        r_got = got.render(cam, 96, 64, **kw)
+        np.testing.assert_array_equal(r_got.color, r_ref.color)
+        assert r_got.visible_labels == r_ref.visible_labels
+        assert len(r_got.layouts) == len(r_ref.layouts)
+
+    # Wire mode: one-transfer frames finish identically.
+    w_ref = ref.render(cam, 96, 64, fast=True, n_steps=128, wire="rgb888")
+    w_got = got.render(cam, 96, 64, fast=True, n_steps=128, wire="rgb888")
+    f_ref, vl_ref, _, _ = w_ref.finish(np.asarray(w_ref.color))
+    f_got, vl_got, _, _ = w_got.finish(np.asarray(w_got.color))
+    np.testing.assert_array_equal(f_got, f_ref)
+    assert vl_got == vl_ref
+
+    # Panorama path (sharded clipmap extraction).
+    spec = PanoramaSpec.fast(
+        width=256, height=64, n_steps=128, clipmap_threshold=10_000
+    )
+    p_ref = ref.render_panorama(cam, spec)
+    p_got = got.render_panorama(cam, spec)
+    np.testing.assert_array_equal(p_got.color, p_ref.color)
+
+    # Batch path (sharded scan; numerically identical up to scan order).
+    eyes = np.stack([np.asarray(cam.eye)] * 2)
+    suns = np.stack([np.asarray(cam.sun_angle.to_vec3())] * 2)
+    b_ref = np.asarray(ref.render_batch(eyes, spec, suns))
+    b_got = np.asarray(got.render_batch(eyes, spec, suns))
+    # The two scans assemble windows differently (per-eye slices vs one
+    # psum per level); a handful of LOD-boundary texels land on the other
+    # side of a bilinear blend. Gate the disagreement, don't demand zero.
+    diff = np.abs(b_got - b_ref)
+    assert (diff > 2e-6).mean() < 1e-3 and diff.max() < 0.02
+
+    # Streaming add lands on BOTH engines (sharded one through
+    # apply_slot_update_sharded) and renders stay bit-identical.
+    c = tile_at(1, 1)
+    ref.add_terrain(c.location, c.heights, c.transform)
+    got.add_terrain(c.location, c.heights, c.transform)
+    assert got._pending, "sharded engine should queue an incremental op"
+    r_ref = ref.render(cam, 96, 64, fast=False, n_steps=192, n_refine=8)
+    r_got = got.render(cam, 96, 64, fast=False, n_steps=192, n_refine=8)
+    np.testing.assert_array_equal(r_got.color, r_ref.color)

@@ -40,20 +40,29 @@ from topo_renderer_tpu.models.scene import POISON_HEIGHT, TerrainMosaic
 from topo_renderer_tpu.ops.normals import compute_normals_soa
 
 
-def streaming_canvas_dim(n: int) -> int:
+def streaming_canvas_dim(n: int, multiple: int = 1) -> int:
     """Smallest dimension >= n of the form b * 2^a with 4 <= b < 8 (or n for
-    tiny n), so that the mip chain halves exactly at every level."""
-    if n < 8:
+    tiny n), so that the mip chain halves exactly at every level.
+
+    ``multiple`` additionally forces divisibility (row-sharded streaming:
+    `shard_mosaic` must introduce NO padding rows or the padded mip chain
+    stops halving and `apply_slot_update_sharded` refuses; the engine
+    passes ``8 * n_dev * 4`` so the top sharded mip levels stay aligned
+    too)."""
+    if n < 8 and multiple <= 1:
         return n
     a = 0
     m = n
     while m >= 8:
         m = (m + 1) // 2
         a += 1
-    for b in range(m, 8):
-        if b * (1 << a) >= n:
-            return b * (1 << a)
-    return 8 * (1 << a)  # b rolled over: 8*2^a == 4*2^(a+1)
+    while True:
+        for b in range(max(m, 4), 8):
+            d = b * (1 << a)
+            if d >= n and d % multiple == 0:
+                return d
+        m = 4
+        a += 1
 
 
 def _enc10(c):
@@ -331,29 +340,52 @@ def check_halvable(shape, mip_shapes):
             )
 
 
+def apply_slot_update(mosaic: TerrainMosaic, *args, **kw) -> TerrainMosaic:
+    """Write one tile slot (add: real heights; unload: all-POISON block) and
+    recompute every derived table on halo slices. Donates the mosaic, so the
+    multi-GB tables update in place. The math lives in
+    `compute_slot_blocks`; the jitted wrapper reads regions straight off
+    the full tables and applies the blocks with `dynamic_update_slice`.
+
+    Args after ``mosaic``: ``blk`` (f32[th, tw] poisoned-form heights of
+    the slot region), ``oy, ox`` (absolute NW texel), ``owner_slices``
+    (tuple over levels 0..L of int32 owner windows, static sizes —
+    host-side geometry in `attr_slice_geometry`), ``rot_flat``
+    (f32[cap*9] slot rotations), ``geo`` (f32[4] lon_nw/lat_nw/ps_x/ps_y);
+    keywords ``th, tw`` (static block shape) + normal-build flags.
+
+    The host reattach below is load-bearing: `MosaicHostData` hashes/eqs
+    as a constant (so host bookkeeping can't fragment the jit cache), which
+    ALSO means a jitted function RETURNING a TerrainMosaic rebuilds the
+    output pytree from the first-traced treedef — i.e. the first caller's
+    host object. Without the reattach, every engine in a process would get
+    the FIRST engine's valid/cell_tile arrays back and cross-mutate them
+    (measured: a second engine's owner windows carried another engine's
+    tile pattern — one wrong packed normal at a halo texel)."""
+    out = _apply_slot_update_jit(mosaic, *args, **kw)
+    import dataclasses
+
+    return dataclasses.replace(out, host=mosaic.host)
+
+
 @partial(
     jax.jit,
     donate_argnums=(0,),
     static_argnames=("th", "tw", "quantize_normals", "correct_axes"),
 )
-def apply_slot_update(
+def _apply_slot_update_jit(
     mosaic: TerrainMosaic,
-    blk,            # f32[th, tw]: poisoned-form heights of the slot region
-    oy, ox,         # int32 absolute NW texel of the region
-    owner_slices,   # tuple over levels 0..L of int32 owner windows (static sizes)
-    rot_flat,       # f32[cap*9] slot rotations (row-major 3x3 each)
-    geo,            # f32[4] = (lon_nw, lat_nw, ps_x, ps_y)
+    blk,
+    oy, ox,
+    owner_slices,
+    rot_flat,
+    geo,
     *,
     th: int,
     tw: int,
     quantize_normals: bool = True,
     correct_axes: bool = False,
 ) -> TerrainMosaic:
-    """Write one tile slot (add: real heights; unload: all-POISON block) and
-    recompute every derived table on halo slices. Donates the mosaic, so the
-    multi-GB tables update in place. The math lives in
-    `compute_slot_blocks`; this wrapper reads regions straight off the full
-    tables and applies the blocks with `dynamic_update_slice`."""
     h_m, w_m = mosaic.shape
     assert mosaic.has_cell_table or mosaic.cell_heights_flat.shape[0] == 1
     check_halvable(mosaic.shape, mosaic.mip_shapes)

@@ -1439,10 +1439,51 @@ def march_guided_panorama(
     )
 
 
+def fast_view_spec(
+    *,
+    width: int,
+    height: int,
+    fov_hint: float = 0.7853981633974483,
+    supersample: float = 1.25,
+    n_steps: int = 384,
+    clipmap_threshold: int | None = None,
+):
+    """The fast perspective path's ACTUAL panorama spec, exported (same
+    contract as `guided_prepass_spec`): `render_perspective_fast` renders
+    this angular window and warps it; sharded-mosaic serving
+    (`parallel/sharded_mosaic.py::render_perspective_fast_sharded`)
+    extracts this spec's clipmap windows with the psum-assembling
+    extractor and feeds them back in — derivations must never fork."""
+    import math as _m
+
+    from topo_renderer_tpu.ops.panorama import PanoramaSpec
+
+    half_diag = min(
+        _m.atan(_m.tan(0.5 * float(fov_hint)) * _m.sqrt(1.0 + (width / height) ** 2)),
+        0.49 * _m.pi,
+    )
+    half_win = min(1.03 * half_diag + 0.01, 0.49 * _m.pi)
+    az_span = min(2.0 * _m.pi, 2.0 * half_win / max(_m.cos(half_win), 0.3))
+    px_per_rad = supersample * height / float(fov_hint)
+    wp = max(256, min(int(_m.ceil(az_span * px_per_rad / 256.0)) * 256, 8192))
+    hp = max(64, min(int(_m.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
+    kw = (
+        {} if clipmap_threshold is None
+        else {"clipmap_threshold": clipmap_threshold}
+    )
+    spec = PanoramaSpec.fast(
+        width=wp, height=hp, n_steps=n_steps,
+        azimuth_start=-0.5 * az_span, azimuth_span=az_span,
+        elev_min=-half_win, elev_max=half_win, **kw,
+    )
+    return spec, half_win, az_span
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "width", "height", "supersample", "n_steps", "pixelize_n", "fov_hint",
+        "clipmap_threshold",
     ),
 )
 def render_perspective_fast(
@@ -1455,6 +1496,8 @@ def render_perspective_fast(
     n_steps: int = 384,
     pixelize_n=None,
     fov_hint: float = 0.7853981633974483,  # 45 deg
+    windows=None,
+    clipmap_threshold: int | None = None,
 ):
     """Interactive-rate perspective rendering via the panorama engine.
 
@@ -1492,19 +1535,14 @@ def render_perspective_fast(
     az = jnp.arctan2(d_e, d_n)  # [H, W], 0 = north
     el = jnp.arcsin(jnp.clip(d_u, -1.0, 1.0))
 
-    # Static angular window from the fov bound (diagonal half-angle + margin).
-    import math as _m
-
-    half_diag = min(
-        _m.atan(_m.tan(0.5 * float(fov_hint)) * _m.sqrt(1.0 + (width / height) ** 2)),
-        0.49 * _m.pi,
+    # Static angular window from the fov bound (diagonal half-angle +
+    # margin) — the shared derivation (`fast_view_spec`).
+    spec, half_win, az_span = fast_view_spec(
+        width=width, height=height, fov_hint=fov_hint,
+        supersample=supersample, n_steps=n_steps,
+        clipmap_threshold=clipmap_threshold,
     )
-    half_win = min(1.03 * half_diag + 0.01, 0.49 * _m.pi)
-    az_span = min(2.0 * _m.pi, 2.0 * half_win / max(_m.cos(half_win), 0.3))
-
-    px_per_rad = supersample * height / float(fov_hint)
-    wp = max(256, min(int(_m.ceil(az_span * px_per_rad / 256.0)) * 256, 8192))
-    hp = max(64, min(int(_m.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
+    wp, hp = spec.width, spec.height
 
     # Traced window center: the view direction's az/el.
     az_c = jnp.arctan2(
@@ -1514,17 +1552,12 @@ def render_perspective_fast(
     el_c = jnp.arcsin(
         jnp.clip(fwd[0] * ux + fwd[1] * uy + fwd[2] * uz, -1.0, 1.0)
     )
-    spec = PanoramaSpec.fast(
-        width=wp, height=hp, n_steps=n_steps,
-        azimuth_start=-0.5 * az_span, azimuth_span=az_span,
-        elev_min=-half_win, elev_max=half_win,
-    )
     sun = camera.sun_angle.to_vec3()
     view_mode = jnp.int32(int(camera.view_mode))
     pano = render_panorama(
         mosaic, eye, spec, sun, view_mode=view_mode,
         quantize_rt=False, apply_postprocess=False,
-        azimuth_offset=az_c, elev_offset=el_c,
+        azimuth_offset=az_c, elev_offset=el_c, windows=windows,
     )
 
     # Warp pano -> perspective grid by ray direction. Bilinear taps are the

@@ -406,6 +406,54 @@ def render_perspective_sharded(
     return fn(mosaic, camera)
 
 
+def render_perspective_fast_sharded(
+    mosaic: TerrainMosaic,
+    camera,
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    n_steps: int = 384,
+    supersample: float = 1.25,
+    pixelize_n=None,
+    fov_hint: float = 0.7853981633974483,
+    clipmap_threshold: int | None = None,
+    axis: str = GEO_AXIS,
+):
+    """Interactive fast perspective frame against a ROW-SHARDED mosaic.
+
+    Two programs, like the replicated engine path: the frustum panorama
+    spec comes from the SAME derivation the fast renderer uses
+    (`ops/raycast.py::fast_view_spec` — never forked), its clipmap
+    windows are psum-assembled across the row bands
+    (`extract_clipmap_windows_sharded`), and the unchanged
+    `render_perspective_fast` consumes them — it then reads only the
+    replicated small tables plus the assembled windows, so the sharded
+    leaves stay untouched and the output bit-matches the replicated
+    fast frame (tests/test_sharded_mosaic.py)."""
+    from topo_renderer_tpu.ops.raycast import (
+        fast_view_spec,
+        render_perspective_fast,
+    )
+
+    # Keep the invariant "sharded level => windowed level": a sharded level
+    # left unwindowed would make the render program read the sharded table
+    # directly (GSPMD would all-gather it every frame); pass a
+    # clipmap_threshold at or below the shard size_threshold.
+    spec, _, _ = fast_view_spec(
+        width=width, height=height, fov_hint=fov_hint,
+        supersample=supersample, n_steps=n_steps,
+        clipmap_threshold=clipmap_threshold,
+    )
+    eye = jnp.asarray(camera.eye, jnp.float32)
+    win = extract_clipmap_windows_sharded(mosaic, eye, spec, mesh, axis)
+    return render_perspective_fast(
+        mosaic, camera, width=width, height=height,
+        supersample=supersample, n_steps=n_steps, pixelize_n=pixelize_n,
+        fov_hint=fov_hint, windows=win, clipmap_threshold=clipmap_threshold,
+    )
+
+
 def render_batch_scan_sharded(
     mosaic: TerrainMosaic,
     eyes,

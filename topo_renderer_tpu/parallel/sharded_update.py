@@ -272,4 +272,9 @@ def apply_slot_update_sharded(
             donate_argnums=(0,),
         )
         _FN_CACHE[key] = fn
-    return fn(mosaic, blk, oy, ox, owner_slices, rot_flat, geo)
+    out = fn(mosaic, blk, oy, ox, owner_slices, rot_flat, geo)
+    # Reattach the CALLER's host bookkeeping: MosaicHostData eq/hash is
+    # constant, so the cached output treedef would otherwise hand back the
+    # first-traced caller's host object (see
+    # `models/mosaic_update.apply_slot_update` for the measured failure).
+    return dataclasses.replace(out, host=mosaic.host)

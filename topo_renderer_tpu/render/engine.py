@@ -150,6 +150,34 @@ def _frame_wire(
 
 @_partial(
     jax.jit,
+    static_argnames=("width", "height", "tolerance_rel", "wire_mode"),
+)
+def _post_labels_wire(
+    camera, pos, valid, color, depth, *, width, height, tolerance_rel,
+    wire_mode=None,
+):
+    """Label visibility (+ optional wire encode) from an ALREADY-RENDERED
+    frame — the geo-sharded render paths produce replicated color/depth
+    through `shard_map` programs, then this single extra dispatch fuses
+    the visibility test and the one-transfer encode."""
+    vp = camera.build_view_proj_matrix(float(width), float(height))
+    vis = peak_visibility(
+        pos, valid, vp, depth, width=width, height=height,
+        tolerance_rel=tolerance_rel,
+    )
+    packed = jnp.stack([vis["visible"].astype(jnp.int32), vis["x"], vis["y"]])
+    if wire_mode is None:
+        return packed, None
+    return packed, transport.encode_frame(color, packed, mode=wire_mode)
+
+
+@_partial(jax.jit, static_argnames=("wire_mode",))
+def _post_wire(color, *, wire_mode):
+    return transport.encode_frame(color, None, mode=wire_mode)
+
+
+@_partial(
+    jax.jit,
     static_argnames=("spec", "fog", "pixelize_n", "tolerance_rel"),
 )
 def _panorama_with_labels(
@@ -191,7 +219,12 @@ class RenderResult:
 
 
 class RenderEngine:
-    def __init__(self, device_mosaic_build: bool = True, streaming: bool = False):
+    def __init__(
+        self,
+        device_mosaic_build: bool = True,
+        streaming: bool = False,
+        geo_mesh=None,
+    ):
         """``device_mosaic_build``: build derived mosaic tables (normals,
         mips, packing) on device in one jitted program — the production
         path, ~10x faster at large tile counts (reference analog: the GPU
@@ -206,13 +239,24 @@ class RenderEngine:
         donated O(tile) program instead of a full multi-GB rebuild. A tile
         outside the canvas (or with a mismatched grid) falls back to a full
         rebuild on a fresh canvas. The interactive frontends enable this;
-        batch/one-shot uses keep the plain rebuild."""
+        batch/one-shot uses keep the plain rebuild.
+
+        ``geo_mesh``: a `jax.sharding.Mesh` with a ``"geo"`` axis. The big
+        mosaic tables are row-sharded across it (`parallel/sharded_mosaic`:
+        scene capacity scales with devices), every render path routes
+        through the psum-assembling sharded programs (exact march, fast
+        frame, panoramas, batch scan — outputs bit-match the replicated
+        engine), and streaming slot updates run AGAINST the sharded tables
+        (`parallel/sharded_update.py`). Composes with ``streaming`` —
+        the canvas is sized ``8 * n_dev``-aligned so sharding never pads."""
         self._tiles: dict[GeoLocation, TerrainTile] = {}
         self._peaks: dict[GeoLocation, list[PeakInstance]] = {}
         self._mosaic: TerrainMosaic | None = None
         self._dirty = True
         self._device_mosaic_build = bool(device_mosaic_build)
         self._streaming = bool(streaming)
+        self._geo_mesh = geo_mesh
+        self._shard_threshold = 2_000_000  # texels; tests lower it
         self._window_table_min = 262_144  # build_mosaic default; tests lower it
         self._canvas = None  # (lon_nw, lat_nw, h_m, w_m, ps_x, ps_y)
         self._slots: dict[GeoLocation, tuple] = {}  # loc -> (slot, oy, ox, th, tw)
@@ -367,17 +411,35 @@ class RenderEngine:
                 ol = host.cell_tile[ys[:, None], xs[None, :]]
                 slices.append(jnp.asarray(np.where(ol < 0, 0, ol).astype(np.int32)))
 
-            self._mosaic = apply_slot_update(
-                self._mosaic,
-                jnp.asarray(blk),
-                np.int32(oy),
-                np.int32(ox),
-                tuple(slices),
-                jnp.asarray(self._rotations.reshape(-1)),
-                geo,
-                th=th,
-                tw=tw,
-            )
+            if self._geo_mesh is not None:
+                from topo_renderer_tpu.parallel.sharded_update import (
+                    apply_slot_update_sharded,
+                )
+
+                self._mosaic = apply_slot_update_sharded(
+                    self._mosaic,
+                    jnp.asarray(blk),
+                    np.int32(oy),
+                    np.int32(ox),
+                    tuple(slices),
+                    jnp.asarray(self._rotations.reshape(-1)),
+                    geo,
+                    self._geo_mesh,
+                    th=th,
+                    tw=tw,
+                )
+            else:
+                self._mosaic = apply_slot_update(
+                    self._mosaic,
+                    jnp.asarray(blk),
+                    np.int32(oy),
+                    np.int32(ox),
+                    tuple(slices),
+                    jnp.asarray(self._rotations.reshape(-1)),
+                    geo,
+                    th=th,
+                    tw=tw,
+                )
         # Bounding sphere tracks hmax (one scalar pull; same f64 formula as
         # the full build).
         self._refresh_bound_sphere()
@@ -441,7 +503,14 @@ class RenderEngine:
         lat_nw = lat_max + ps_y * margin_y
         need_h = int(round((lat_nw - lat_min) / ps_y)) + 1 + margin_y
         need_w = int(round((lon_max - lon_nw) / ps_x)) + 1 + margin_x
-        h_m = streaming_canvas_dim(need_h)
+        # Row-sharded streaming needs shard_mosaic to introduce NO padding
+        # (8 * n_dev row bands, and the top sharded mip levels aligned too).
+        mult = getattr(self, "_canvas_multiple_override", None) or (
+            8 * self._geo_mesh.shape["geo"] * 4
+            if self._geo_mesh is not None
+            else 1
+        )
+        h_m = streaming_canvas_dim(need_h, mult)
         w_m = streaming_canvas_dim(need_w)
         self._canvas = (lon_nw, lat_nw, h_m, w_m, ps_x, ps_y)
         self._mosaic = build_mosaic(
@@ -498,6 +567,24 @@ class RenderEngine:
                     [self._tiles[k] for k in order],
                     on_device=self._device_mosaic_build,
                 )
+            if self._geo_mesh is not None:
+                from topo_renderer_tpu.parallel.sharded_mosaic import (
+                    shard_mosaic,
+                )
+
+                shape0 = self._mosaic.shape
+                self._mosaic = shard_mosaic(
+                    self._mosaic, self._geo_mesh,
+                    size_threshold=self._shard_threshold,
+                    keep_cell_table=True,
+                )
+                if self._streaming and self._mosaic.shape != shape0:
+                    # Padding would break the halving chain that streaming
+                    # slot updates rely on; the streaming canvas is sized
+                    # aligned, so this only fires for the plain-rebuild
+                    # path (mixed tiles), where slot updates are off anyway.
+                    self._canvas = None
+                    self._slots = {}
             self._dirty = False
         elif self._pending:
             self._apply_pending()
@@ -659,14 +746,21 @@ class RenderEngine:
         caller pulls the buffer and calls ``res.finish(buf)`` ->
         ``(u8 frame, visible_labels, layouts, names)`` outside any lock.
         """
+        if wire is not None and wire not in transport.MODES:
+            raise ValueError(f"unknown wire mode {wire!r}")
+        if self._geo_mesh is not None:
+            return self._render_sharded(
+                camera, width, height, n_steps=n_steps, n_refine=n_refine,
+                pixelize_n=pixelize_n, with_labels=with_labels,
+                composite=composite, fast=fast, guided=guided,
+                host_copy=host_copy, u8_host=u8_host, wire=wire,
+            )
         mosaic = self.mosaic
         fov_hint = self._fov_bucket_rad(camera)
         visible_labels: dict[GeoLocation, list] = {}
         layouts: list = []
         want_labels = with_labels and bool(self._peaks)
         if wire is not None:
-            if wire not in transport.MODES:
-                raise ValueError(f"unknown wire mode {wire!r}")
             cp = np.asarray if host_copy else (lambda a: a)
             if want_labels:
                 entries, pos, valid = self._padded_peaks()
@@ -762,6 +856,16 @@ class RenderEngine:
                 fov_hint=fov_hint if guided else None,
             )
 
+        return self._finalize_plain(
+            out, visible_labels, layouts,
+            composite=composite, host_copy=host_copy, u8_host=u8_host,
+        )
+
+    def _finalize_plain(
+        self, out, visible_labels, layouts, *, composite, host_copy, u8_host
+    ):
+        """Shared non-wire tail of the perspective render paths: sRGB8
+        conversion, optional label compositing, RenderResult assembly."""
         cp = np.asarray if host_copy else (lambda a: a)
         if u8_host:
             color_u8 = np.asarray(shading.to_srgb8_image(out["color"]))
@@ -783,6 +887,84 @@ class RenderEngine:
             hit=cp(out["hit"]),
             visible_labels=visible_labels,
             layouts=layouts,
+        )
+
+    def _render_sharded(
+        self, camera, width, height, *, n_steps, n_refine, pixelize_n,
+        with_labels, composite, fast, guided, host_copy, u8_host, wire,
+    ):
+        """Geo-sharded render routing (`RenderEngine(geo_mesh=...)`): the
+        frame renders through the psum-assembling sharded programs
+        (`parallel/sharded_mosaic.py` — outputs replicated and bit-matching
+        the replicated engine), then ONE extra fused dispatch derives label
+        visibility (+ the one-transfer wire encode) from the replicated
+        color/depth. Label pass, wire finish and RenderResult tail are the
+        single-device code paths."""
+        from topo_renderer_tpu.parallel.sharded_mosaic import (
+            render_perspective_fast_sharded,
+            render_perspective_sharded,
+        )
+
+        mosaic = self.mosaic
+        fov_hint = self._fov_bucket_rad(camera)
+        if fast:
+            out = render_perspective_fast_sharded(
+                mosaic, camera, self._geo_mesh, width=width, height=height,
+                n_steps=min(n_steps, 512), pixelize_n=pixelize_n,
+                fov_hint=fov_hint,
+                clipmap_threshold=min(self._shard_threshold, 2_000_000),
+            )
+        else:
+            out = render_perspective_sharded(
+                mosaic, camera, self._geo_mesh, width=width, height=height,
+                n_steps=n_steps, n_refine=n_refine, guided=guided,
+                fov_hint=fov_hint if guided else None,
+            )
+
+        want_labels = with_labels and bool(self._peaks)
+        entries: list = []
+        names: dict = {}
+        n_peaks = 0
+        packed_dev = wire_dev = None
+        if want_labels:
+            entries, pos, valid = self._padded_peaks()
+            packed_dev, wire_dev = _post_labels_wire(
+                camera, pos, valid, out["color"], out["depth"],
+                width=width, height=height,
+                tolerance_rel=0.05 if fast else 0.0, wire_mode=wire,
+            )
+            names = {
+                (loc, i): self._peaks[loc][i].name
+                for (loc, i, _inst) in entries
+            }
+            n_peaks = int(pos.shape[0])
+        elif wire is not None:
+            wire_dev = _post_wire(out["color"], wire_mode=wire)
+
+        if wire is not None:
+            cp = np.asarray if host_copy else (lambda a: a)
+            return RenderResult(
+                color=wire_dev,
+                color_linear=cp(out["color"]),
+                depth=cp(out["depth"]),
+                distance=cp(out["distance"]),
+                hit=cp(out["hit"]),
+                visible_labels={},
+                layouts=[],
+                finish=self._make_finish(
+                    entries, names, height, width, wire, n_peaks
+                ),
+            )
+
+        visible_labels: dict = {}
+        layouts: list = []
+        if want_labels:
+            visible_labels, layouts = self._label_pass_packed(
+                entries, np.asarray(packed_dev)
+            )
+        return self._finalize_plain(
+            out, visible_labels, layouts,
+            composite=composite, host_copy=host_copy, u8_host=u8_host,
         )
 
     def label_names(self, visible_labels) -> dict:
@@ -823,7 +1005,16 @@ class RenderEngine:
         # cross-program-prefetch — i.e. re-stream — them every frame).
         windows = None
         if spec.lod and spec.clipmap and self.mosaic.mip_shapes:
-            windows = extract_clipmap_windows(self.mosaic, eye, spec)
+            if self._geo_mesh is not None:
+                from topo_renderer_tpu.parallel.sharded_mosaic import (
+                    extract_clipmap_windows_sharded,
+                )
+
+                windows = extract_clipmap_windows_sharded(
+                    self.mosaic, eye, spec, self._geo_mesh
+                )
+            else:
+                windows = extract_clipmap_windows(self.mosaic, eye, spec)
 
         visible_labels: dict[GeoLocation, list] = {}
         layouts: list = []
@@ -878,6 +1069,17 @@ class RenderEngine:
         eyes = jnp.asarray(eyes, jnp.float32)
         suns = jnp.asarray(sun_directions, jnp.float32)
         if spec.lod and spec.clipmap:
+            if self._geo_mesh is not None:
+                # Capacity + throughput composed: the batch scan against
+                # the row-sharded tables (one program, one psum per level).
+                from topo_renderer_tpu.parallel.sharded_mosaic import (
+                    render_batch_scan_sharded,
+                )
+
+                return render_batch_scan_sharded(
+                    self.mosaic, eyes, suns, spec, self._geo_mesh,
+                    view_mode=jnp.int32(view_mode), fog=fog,
+                )
             # One program for the whole batch: a device-side scan over
             # per-eye extract+render keeps single-eye gather locality and
             # pays one dispatch total (579/s vs 67/s pipelined on a
