@@ -34,7 +34,7 @@ FOV = math.radians(45.0)
 
 
 @partial(jax.jit, static_argnames=("nw", "ss", "nc", "split", "marg", "guard", "ng", "bs"))
-def march_only(mosaic, cam, nw, ss, nc, split, marg, guard=False, ng=2, bs=4):
+def march_only(mosaic, cam, nw, ss, nc, split, marg, guard=True, ng=2, bs=4):
     (dx, dy, dz), fwd = rc.camera_rays(cam, W, H)
     eye = jnp.asarray(cam.eye, jnp.float32)
     return rc.march_guided_panorama(
@@ -73,10 +73,10 @@ def main():
     # probe_parity_scale2/probe_steep_pitch logs; this gates TPU flips +
     # back-to-back time).
     variants = [
-        ("r3 shipped split nw=6 nc=2 m25", 6, 1.1, 2, True, 25.0, False, 2, 4),
-        ("v2 guard nw=4 ng=2 bs4", 4, 1.1, 2, True, 25.0, True, 2, 4),
-        ("v2 guard nw=6 ng=2 bs4", 6, 1.1, 2, True, 25.0, True, 2, 4),
-        ("v2 guard nw=4 ng=2 bs1", 4, 1.1, 2, True, 25.0, True, 2, 1),
+        ("r3 shipped split nw=6 ss1.1", 6, 1.1, 2, True, 25.0, False, 2, 4),
+        ("DEFAULT guard nw=6 ss1.0", 6, 1.0, 2, True, 25.0, True, 2, 4),
+        ("rung nw=4 ss1.0", 4, 1.0, 2, True, 25.0, True, 2, 4),
+        ("rung union nw=3 ss1.0", 3, 1.0, 2, False, 25.0, True, 2, 4),
     ]
 
     for ci, cam in enumerate(cams):
@@ -102,7 +102,9 @@ def main():
                 march_only(mosaic, cam, nw, ss, nc, sp, mg, gd, ng, bs)[1].sum(),
         )
     bench("march r3 shipped (re-run)",
-          lambda: march_only(mosaic, cam, 6, 1.1, 2, True, 25.0)[1].sum())
+          lambda: march_only(mosaic, cam, 6, 1.1, 2, True, 25.0, False)[1].sum())
+    bench("march DEFAULT (re-run)",
+          lambda: march_only(mosaic, cam, 6, 1.0, 2, True, 25.0)[1].sum())
     print("done", flush=True)
 
 

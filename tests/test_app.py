@@ -144,3 +144,24 @@ def test_web_frontend(backend):
 
         status = json.loads(r.read())
     assert status["loaded"] >= 1
+
+
+def test_application_geo_shard_setting(backend):
+    """TOPO_GEO_SHARD=<n> wires the app's engine to a row-sharded mosaic
+    (`RenderEngine(geo_mesh=...)`); frames render through the sharded
+    programs end to end."""
+    server, loc, heights = backend
+    app = Application(Settings(backend_url=server.url, geo_shard=2))
+    try:
+        assert app.engine._geo_mesh is not None
+        assert app.engine._geo_mesh.shape["geo"] == 2
+        app.engine._shard_threshold = 10_000
+        app.start(GeoCoord(49.35135, 20.21139))
+        app.wait_for_terrain(timeout=60)
+        app.pump_events()
+        res = app.engine.render(app.data.camera, 64, 40, n_steps=64,
+                                n_refine=4, fast=True)
+        assert res.color.shape == (40, 64, 3)
+        assert np.isfinite(np.asarray(res.color_linear)).all()
+    finally:
+        app.shutdown()

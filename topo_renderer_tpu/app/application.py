@@ -47,7 +47,24 @@ class Application:
         # (O(tile) donated update) instead of rebuilding the mosaic — the
         # reference's per-tile `add_terrain`/`unload_terrain` behavior
         # (`terrain_renderer.rs:173-350,361-363`).
-        self.engine = RenderEngine(streaming=True)
+        # TOPO_GEO_SHARD=<n> row-shards the big terrain tables across the
+        # first n local devices (scene capacity scales with chips; every
+        # render path routes through the psum-assembling sharded programs,
+        # and streaming updates land on the sharded tables).
+        geo_mesh = None
+        n_shard = int(getattr(self.settings, "geo_shard", 0) or 0)
+        if n_shard > 1:
+            import jax
+            import numpy as _np
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < n_shard:
+                raise RuntimeError(
+                    f"TOPO_GEO_SHARD={n_shard} but only {len(devs)} devices"
+                )
+            geo_mesh = Mesh(_np.array(devs[:n_shard]), ("geo",))
+        self.engine = RenderEngine(streaming=True, geo_mesh=geo_mesh)
         self.camera_controller = CameraController(camera_speed)
         self.ui_controller = UiController(self._request_tile)
         self._events: "queue.Queue" = queue.Queue()

@@ -29,6 +29,10 @@ class Settings:
     data_dir: str = "data"
     address: str = "0.0.0.0"
     port: int = 3333
+    # TPU-native extension (no reference analog): row-shard the big terrain
+    # tables across the first N local devices (`RenderEngine(geo_mesh=...)`)
+    # — scene capacity scales with chips. 0/1 = replicated single-chip.
+    geo_shard: int = 0
     extra: dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -58,5 +62,7 @@ class Settings:
         kwargs = {k: v for k, v in values.items() if k in known}
         if "port" in kwargs:
             kwargs["port"] = int(kwargs["port"])
+        if "geo_shard" in kwargs:
+            kwargs["geo_shard"] = int(kwargs["geo_shard"])
         extra = {k: v for k, v in values.items() if k not in known}
         return Settings(**kwargs, extra=extra)
