@@ -115,6 +115,16 @@ def test_interactive_freefly_session(frontend):
     )
     assert status == 200 and jpg_exact[:2] == b"\xff\xd8"
 
+    # Adaptive exact quality (the browser sends "interactive" on motion
+    # frames): the cheap 9-round march rung serves a valid frame.
+    status, jpg_int, _h = _post(
+        base,
+        f"/frame?session={sid}",
+        {"events": [], "width": 96, "height": 64, "force": True,
+         "exact": True, "exact_quality": "interactive"},
+    )
+    assert status == 200 and jpg_int[:2] == b"\xff\xd8"
+
     # Reduced-byte transport knob (the browser's "low-bw" checkbox): the
     # half-resolution yuv420 wire pull still serves a full-size JPEG.
     status, jpg_half, _h = _post(

@@ -316,11 +316,25 @@ class WebFrontend:
             pixfmt = body.get("pixfmt") or ("rgb888" if exact else "yuv420")
             if pixfmt not in transport.MODES:
                 raise ValueError(f"unknown pixfmt {pixfmt!r}")
+            # Exact-mode march budget: "interactive" selects the cheap
+            # union+own rung (9 gather rounds vs the default 13, ~30%
+            # faster frames at round-3-class parity — the measured ladder
+            # in `ops/raycast.py::march_guided_panorama`); "full" (default)
+            # keeps the engine's parity-default knobs.
+            quality = body.get("exact_quality", "full")
+            if quality not in ("full", "interactive"):
+                raise ValueError(f"unknown exact_quality {quality!r}")
+            gkw = (
+                (("n_window", 3), ("split_brackets", False))
+                if exact and quality == "interactive"
+                else ()
+            )
             res = self.app.engine.render(
                 cam, width, height, fast=not exact,
                 with_labels=bool(body.get("labels", True)),
                 host_copy=False,  # f32 planes stay on device
                 wire=pixfmt,      # the single u8 pull overlaps the next render
+                guided_kw=gkw,
             )
         except Exception:
             # No frame was delivered: roll the camera back so the consumed

@@ -1144,7 +1144,9 @@ def guided_march_rounds(
     NOTES.md "gather-rate ground truth")."""
     nw_leg = max(n_window // 2, 2)
     if guard_legs:
-        return 2 * (nw_leg + 1) + (nw_guard + 1) + n_cells
+        if split_brackets:
+            return 2 * (nw_leg + 1) + (nw_guard + 1) + n_cells
+        return (n_window + 1) + (nw_guard + 1) + n_cells  # union + own
     if split_brackets:
         return 2 * (nw_leg + 1) + n_cells
     return n_window + 1 + n_cells

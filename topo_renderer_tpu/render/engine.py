@@ -90,12 +90,12 @@ def _fast_frame_with_labels(
     jax.jit,
     static_argnames=(
         "width", "height", "n_steps", "n_refine", "pixelize_n", "fov_hint",
-        "guided", "wire_mode",
+        "guided", "guided_kw", "wire_mode",
     ),
 )
 def _exact_frame_with_labels(
     mosaic, camera, pos, valid, *, width, height, n_steps, n_refine,
-    pixelize_n, fov_hint, guided, wire_mode=None,
+    pixelize_n, fov_hint, guided, guided_kw=(), wire_mode=None,
 ):
     """Triangle-exact frame AND label visibility in ONE program.
 
@@ -108,7 +108,7 @@ def _exact_frame_with_labels(
     out = render_perspective(
         mosaic, camera, width=width, height=height, n_steps=n_steps,
         n_refine=n_refine, pixelize_n=pixelize_n, guided=guided,
-        fov_hint=fov_hint,
+        fov_hint=fov_hint, guided_kw=guided_kw,
     )
     vp = camera.build_view_proj_matrix(float(width), float(height))
     vis = peak_visibility(
@@ -125,12 +125,12 @@ def _exact_frame_with_labels(
     jax.jit,
     static_argnames=(
         "width", "height", "n_steps", "n_refine", "pixelize_n", "fov_hint",
-        "fast", "guided", "wire_mode",
+        "fast", "guided", "guided_kw", "wire_mode",
     ),
 )
 def _frame_wire(
     mosaic, camera, *, width, height, n_steps, n_refine, pixelize_n,
-    fov_hint, fast, guided, wire_mode,
+    fov_hint, fast, guided, guided_kw=(), wire_mode=None,
 ):
     """Label-free frame straight to the one-transfer wire vector (the
     interactive loop with labels disabled; same single-pull rationale)."""
@@ -143,7 +143,7 @@ def _frame_wire(
         out = render_perspective(
             mosaic, camera, width=width, height=height, n_steps=n_steps,
             n_refine=n_refine, pixelize_n=pixelize_n, guided=guided,
-            fov_hint=fov_hint,
+            fov_hint=fov_hint, guided_kw=guided_kw,
         )
     return out, transport.encode_frame(out["color"], None, mode=wire_mode)
 
@@ -720,6 +720,7 @@ class RenderEngine:
         host_copy: bool = True,
         u8_host: bool = True,
         wire: str | None = None,
+        guided_kw: tuple = (),
     ) -> RenderResult:
         """Full frame: terrain + postprocess + label pass (reference render
         loop §3.3/§3.4 of SURVEY).
@@ -777,7 +778,7 @@ class RenderEngine:
                         width=width, height=height, n_steps=n_steps,
                         n_refine=n_refine, pixelize_n=pixelize_n,
                         fov_hint=fov_hint if guided else None, guided=guided,
-                        wire_mode=wire,
+                        guided_kw=guided_kw, wire_mode=wire,
                     )
                 names = {
                     (loc, i): self._peaks[loc][i].name
@@ -790,7 +791,8 @@ class RenderEngine:
                     n_steps=min(n_steps, 512) if fast else n_steps,
                     n_refine=n_refine, pixelize_n=pixelize_n,
                     fov_hint=fov_hint if (guided or fast) else None,
-                    fast=fast, guided=guided, wire_mode=wire,
+                    fast=fast, guided=guided, guided_kw=guided_kw,
+                    wire_mode=wire,
                 )
                 entries, names, n_peaks = [], {}, 0
             return RenderResult(
@@ -839,6 +841,7 @@ class RenderEngine:
                 width=width, height=height, n_steps=n_steps,
                 n_refine=n_refine, pixelize_n=pixelize_n,
                 fov_hint=fov_hint if guided else None, guided=guided,
+                guided_kw=guided_kw,
             )
             visible_labels, layouts = self._label_pass_packed(
                 entries, np.asarray(packed_dev)
@@ -854,6 +857,7 @@ class RenderEngine:
                 pixelize_n=pixelize_n,
                 guided=guided,
                 fov_hint=fov_hint if guided else None,
+                guided_kw=guided_kw,
             )
 
         return self._finalize_plain(
