@@ -26,6 +26,7 @@ the loaded-tile count.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -34,6 +35,11 @@ import numpy as np
 
 TARGET_MS = 16.0  # config 4
 TARGET_PANOS_PER_S = 256.0  # config 5
+
+# BENCH_SMOKE=1: tiny shapes so the full script (incl. stats/JSON
+# assembly) executes in minutes on CPU — a code-path check, NOT a
+# measurement. The driver runs without it.
+SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 
 
 def _sustained_stats(run, reps=20, chunks=4):
@@ -90,7 +96,7 @@ def main():
     from topo_renderer_tpu.ops.raycast import render_perspective
     from topo_renderer_tpu.render import text as text_mod
 
-    mosaic = synthetic_mosaic_device(n=12001)
+    mosaic = synthetic_mosaic_device(n=801 if SMOKE else 12001)
     jax.block_until_ready(mosaic.heights_flat)
 
     eye = eye_at(47.0, 23.0, 2800.0)  # mosaic center
@@ -98,7 +104,11 @@ def main():
     configs = []
 
     # ---- config 4 (headline): 4096x1024 atmospheric panorama, LOD fast ----
-    spec4 = PanoramaSpec.fast(width=4096, height=1024, n_steps=512)
+    spec4 = (
+        PanoramaSpec.fast(width=512, height=128, n_steps=128)
+        if SMOKE
+        else PanoramaSpec.fast(width=4096, height=1024, n_steps=512)
+    )
 
     def run4():
         # Two-program path (like render/engine.py): window extraction keeps
@@ -137,7 +147,11 @@ def main():
     )
 
     # ---- config 2: 2048x512 panorama, distance fog ----
-    spec2 = PanoramaSpec.fast(width=2048, height=512, n_steps=512)
+    spec2 = (
+        PanoramaSpec.fast(width=256, height=64, n_steps=128)
+        if SMOKE
+        else PanoramaSpec.fast(width=2048, height=512, n_steps=512)
+    )
 
     def run2():
         win = extract_clipmap_windows(mosaic, eye, spec2)
@@ -197,8 +211,12 @@ def main():
     # label-free wire loop at the same viewport — apples to apples.)
 
     # ---- config 5: batched throughput, 256 viewpoints at 1024x256 ----
-    spec5 = PanoramaSpec.fast(width=1024, height=256, n_steps=512)
-    B = 256
+    spec5 = (
+        PanoramaSpec.fast(width=256, height=64, n_steps=128)
+        if SMOKE
+        else PanoramaSpec.fast(width=1024, height=256, n_steps=512)
+    )
+    B = 4 if SMOKE else 256
     eyes = [
         eye_at(47.0 + float(a), 23.0 + float(o), 2500.0)
         for a, o in zip(
@@ -249,9 +267,11 @@ def main():
 
     fov = math.radians(45.0)
 
+    W1, H1 = (160, 90) if SMOKE else (800, 450)
+
     def run1():
         return render_perspective(
-            mosaic, cam, width=800, height=450, n_steps=1024, n_refine=24,
+            mosaic, cam, width=W1, height=H1, n_steps=1024, n_refine=24,
             guided=True, fov_hint=fov,
         )["color"]
 
@@ -268,7 +288,7 @@ def main():
     )
 
     spec_pre, _, _ = guided_prepass_spec(
-        height=450, fov_hint=fov, aspect=800 / 450, n_steps=1024
+        height=H1, fov_hint=fov, aspect=W1 / H1, n_steps=1024
     )
     ms1_pre = _sustained_ms(
         lambda: panorama_crossing_prepass(mosaic, eye, spec_pre)["d_lo"], reps=12
@@ -305,7 +325,7 @@ def main():
     from topo_renderer_tpu.render import transport
     from topo_renderer_tpu.render.engine import _fast_frame_with_labels, _frame_wire
 
-    W6, H6 = 800, 450
+    W6, H6 = (160, 90) if SMOKE else (800, 450)
 
     def wire_loop(frame_fn, consume, reps=5, chunks=4):
         jax.block_until_ready(frame_fn())  # compile
