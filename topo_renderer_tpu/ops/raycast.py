@@ -1210,6 +1210,7 @@ def march_guided_panorama(
     split_brackets: bool = True,
     guard_legs: bool = True,
     nw_guard: int = 2,
+    nw_far: int | None = None,
     margin_rel: float = 0.01,
     margin_abs: float = 25.0,
     prepass_k_back: int = 1 << 20,
@@ -1382,9 +1383,13 @@ def march_guided_panorama(
             [m, tA1, tB0, tB1, own0, own1], axis=-1
         ).reshape(-1, 6)
         rows = packed[iy * wp + ix]
+        # ``nw_far`` lets the FAR cluster leg run leaner than the near one
+        # (crossings concentrate in the near cluster; the far leg mostly
+        # exists for silhouette-background coverage).
         legs = (
             (rows[..., 0], rows[..., 1], nw_leg),
-            (rows[..., 2], rows[..., 3], nw_leg),
+            (rows[..., 2], rows[..., 3],
+             nw_leg if nw_far is None else max(nw_far, 1)),
             (rows[..., 4], rows[..., 5], nw_guard),
         )
         return _window_march_quad3(
