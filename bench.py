@@ -283,21 +283,31 @@ def main():
     # the march itself (`guided_prepass_spec`) so a knob change cannot
     # silently skew the attribution (round-3 verdict item 8).
     from topo_renderer_tpu.ops.raycast import (
+        guided_march_defaults,
         guided_march_rounds,
         guided_prepass_spec,
     )
 
+    gmd = guided_march_defaults()  # the march's ACTUAL shipped knobs
     spec_pre, _, _ = guided_prepass_spec(
-        height=H1, fov_hint=fov, aspect=W1 / H1, n_steps=1024
+        height=H1, fov_hint=fov, aspect=W1 / H1, n_steps=1024,
+        supersample=gmd["supersample"],
     )
     ms1_pre = _sustained_ms(
-        lambda: panorama_crossing_prepass(mosaic, eye, spec_pre)["d_lo"], reps=12
+        lambda: panorama_crossing_prepass(
+            mosaic, eye, spec_pre, bound_stride=gmd["bound_stride"]
+        )["d_lo"],
+        reps=12,
     )
     # Round-count decomposition (both derived from the engine, never
     # re-derived here): the march's cost unit is one packed cell-row
     # gather per pixel per round; NOTES.md's gather-rate ground truth puts
     # the per-round floor at ~50-75 M rows/s regardless of table layout.
-    rounds1 = guided_march_rounds()
+    rounds1 = guided_march_rounds(
+        n_window=gmd["n_window"], n_cells=gmd["n_cells"],
+        guard_legs=gmd["guard_legs"], nw_guard=gmd["nw_guard"],
+        split_brackets=gmd["split_brackets"],
+    )
     configs.append(
         {
             "config": 1,

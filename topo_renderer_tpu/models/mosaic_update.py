@@ -51,6 +51,18 @@ def streaming_canvas_dim(n: int, multiple: int = 1) -> int:
     too)."""
     if n < 8 and multiple <= 1:
         return n
+    # Satisfiability: d = b * 2^a with b in 4..7, so multiple's ODD part
+    # must divide some b (1, 3, 5, 7 do; 9, 11, ... cannot) — raise
+    # instead of searching forever.
+    p = multiple
+    while p % 2 == 0:
+        p //= 2
+    if p > 1 and all(b % p for b in range(4, 8)):
+        raise ValueError(
+            f"canvas multiple {multiple} has odd factor {p}, incompatible "
+            "with an exactly-halving (b * 2^a, 4 <= b < 8) canvas — use a "
+            "power-of-two (or 3/5/7 x power-of-two) device count"
+        )
     a = 0
     m = n
     while m >= 8:

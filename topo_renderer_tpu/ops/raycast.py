@@ -1127,6 +1127,22 @@ def march_guided(
     )
 
 
+def guided_march_defaults() -> dict:
+    """The guided march's ACTUAL default knob values, read off
+    `march_guided_panorama`'s signature (same export contract as
+    `guided_prepass_spec`: the bench's stage instrumentation must never
+    fork from the engine — a knob default change here propagates
+    automatically)."""
+    import inspect
+
+    sig = inspect.signature(march_guided_panorama)
+    return {
+        k: v.default
+        for k, v in sig.parameters.items()
+        if v.default is not inspect.Parameter.empty
+    }
+
+
 def guided_march_rounds(
     *,
     n_window: int = 6,

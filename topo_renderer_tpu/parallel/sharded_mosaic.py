@@ -349,6 +349,8 @@ def render_perspective_sharded(
     n_refine: int = 24,
     guided: bool = True,
     fov_hint: float | None = None,
+    guided_kw: tuple = (),
+    pixelize_n=None,
     axis: str = GEO_AXIS,
 ):
     """Triangle-exact perspective render against a ROW-SHARDED mosaic.
@@ -382,7 +384,8 @@ def render_perspective_sharded(
     m_specs = _mosaic_shard_specs(mosaic)
     key = (
         "exact", mesh, axis, width, height, n_steps, n_refine, guided,
-        fov_hint, jax.tree_util.tree_structure(mosaic),
+        fov_hint, guided_kw, pixelize_n,
+        jax.tree_util.tree_structure(mosaic),
         tuple(jax.tree_util.tree_leaves(m_specs)),
     )
     fn = _SHARDED_FN_CACHE.get(key)
@@ -392,6 +395,7 @@ def render_perspective_sharded(
             return render_perspective(
                 m_local, cam, width=width, height=height, n_steps=n_steps,
                 n_refine=n_refine, guided=guided, fov_hint=fov_hint,
+                guided_kw=guided_kw, pixelize_n=pixelize_n,
             )
 
         def run(m, cam):

@@ -21,6 +21,7 @@ recompile the jitted ops (SURVEY §7 "dynamic tile sets under jit").
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Mapping, Sequence
 
 import jax
@@ -262,6 +263,12 @@ class RenderEngine:
         self._slots: dict[GeoLocation, tuple] = {}  # loc -> (slot, oy, ox, th, tw)
         self._rot_cap = 64
         self._pending: list[tuple] = []  # queued incremental ops
+        # Wire-mode finish() runs the label pass OUTSIDE the caller's render
+        # lock (that is the point — decode overlaps the next render), so the
+        # layout memo + PeakInstance.visible writes need their own lock
+        # against concurrent pipelined frames.
+        self._label_lock = threading.Lock()
+        self._peaks_gen = 0  # bumped on peak-set changes; part of memo keys
 
     # ---- tile management (reference: terrain_renderer.rs:173,361) --------
 
@@ -280,7 +287,8 @@ class RenderEngine:
 
     def unload_terrain(self, location: GeoLocation) -> None:
         tile = self._tiles.pop(location, None)
-        self._peaks.pop(location, None)
+        if self._peaks.pop(location, None) is not None:
+            self._peaks_gen += 1
         if tile is None:
             return
         if self._streaming and not self._dirty and self._mosaic is not None:
@@ -539,6 +547,7 @@ class RenderEngine:
         (+10 m), as produced by the fetch pipeline
         (`background_runner.rs:142-162`)."""
         self._peaks[location] = list(peaks)
+        self._peaks_gen += 1
 
     @property
     def loaded_locations(self) -> set[GeoLocation]:
@@ -639,25 +648,31 @@ class RenderEngine:
         # verdict: the layout re-ran even when nothing changed). A small
         # LRU instead of a single slot: A/B camera alternation (two views
         # toggled in the web free-fly) would otherwise evict on every frame
-        # (round-3 verdict item 10).
-        key = (len(entries), packed.tobytes())
-        memo = getattr(self, "_layout_memo", None)
-        if memo is None:
-            from collections import OrderedDict
+        # (round-3 verdict item 10). Keys carry the peak-set GENERATION so
+        # a tile swap can never replay a stale layout whose packed bytes
+        # happen to coincide, and the whole pass runs under the label lock
+        # (wire-mode finish() calls this outside the render lock).
+        key = (self._peaks_gen, len(entries), packed.tobytes())
+        with self._label_lock:
+            memo = getattr(self, "_layout_memo", None)
+            if memo is None:
+                from collections import OrderedDict
 
-            memo = self._layout_memo = OrderedDict()
-        cached = memo.get(key)
-        if cached is not None:
-            memo.move_to_end(key)
-            visible_labels, layouts = cached
-            for j, (loc, i, inst) in enumerate(entries):
-                inst.visible = bool(packed[0][j])
+                memo = self._layout_memo = OrderedDict()
+            cached = memo.get(key)
+            if cached is not None:
+                memo.move_to_end(key)
+                visible_labels, layouts = cached
+                for j, (loc, i, inst) in enumerate(entries):
+                    inst.visible = bool(packed[0][j])
+                return visible_labels, layouts
+            visible_labels, layouts = self._label_pass_packed_uncached(
+                entries, packed
+            )
+            memo[key] = (visible_labels, layouts)
+            while len(memo) > self._LAYOUT_MEMO_CAP:
+                memo.popitem(last=False)
             return visible_labels, layouts
-        visible_labels, layouts = self._label_pass_packed_uncached(entries, packed)
-        memo[key] = (visible_labels, layouts)
-        while len(memo) > self._LAYOUT_MEMO_CAP:
-            memo.popitem(last=False)
-        return visible_labels, layouts
 
     def _label_pass_packed_uncached(self, entries, packed):
         visible, xs, ys = packed[0].astype(bool), packed[1], packed[2]
@@ -755,6 +770,7 @@ class RenderEngine:
                 pixelize_n=pixelize_n, with_labels=with_labels,
                 composite=composite, fast=fast, guided=guided,
                 host_copy=host_copy, u8_host=u8_host, wire=wire,
+                guided_kw=guided_kw,
             )
         mosaic = self.mosaic
         fov_hint = self._fov_bucket_rad(camera)
@@ -896,6 +912,7 @@ class RenderEngine:
     def _render_sharded(
         self, camera, width, height, *, n_steps, n_refine, pixelize_n,
         with_labels, composite, fast, guided, host_copy, u8_host, wire,
+        guided_kw=(),
     ):
         """Geo-sharded render routing (`RenderEngine(geo_mesh=...)`): the
         frame renders through the psum-assembling sharded programs
@@ -923,6 +940,7 @@ class RenderEngine:
                 mosaic, camera, self._geo_mesh, width=width, height=height,
                 n_steps=n_steps, n_refine=n_refine, guided=guided,
                 fov_hint=fov_hint if guided else None,
+                guided_kw=guided_kw, pixelize_n=pixelize_n,
             )
 
         want_labels = with_labels and bool(self._peaks)
