@@ -106,6 +106,22 @@ def test_streaming_canvas_dim():
             d //= 2
 
 
+def test_streaming_canvas_dim_multiple():
+    import pytest
+
+    # Geo-sharded streaming: dims must be 8*n_dev*4-aligned AND halving.
+    for n, mult in ((112, 64), (1281, 256), (100, 96), (12001, 256)):
+        d = streaming_canvas_dim(n, mult)
+        assert d >= n and d % mult == 0
+        while d >= 8:
+            assert d % 2 == 0
+            d //= 2
+    # Odd factors that no b in 4..7 carries cannot halve exactly: raise
+    # rather than search forever (e.g. a 9-device geo mesh).
+    with pytest.raises(ValueError):
+        streaming_canvas_dim(1281, 8 * 9 * 4)
+
+
 def test_incremental_add_matches_full_build():
     eng = _streaming_engine()
     a, b = tile_at(0, 0), tile_at(0, 1)
