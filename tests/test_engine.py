@@ -258,3 +258,45 @@ def test_layout_memo_lru_alternating_poses():
         p[:, 0] = (1, 100 + k, 9)
         engine._label_pass_packed(entries, p)
     assert len(engine._layout_memo) <= engine._LAYOUT_MEMO_CAP
+
+
+def test_exact_quality_policy():
+    """exact_quality="auto" (the engine default): first/settle exact renders
+    pay the full parity budget; motion frames (pose changed since the last
+    exact render) march the 9-round interactive rung — bit-identical to
+    pinning either rung explicitly."""
+    engine, cam, _ = build_engine()
+    import dataclasses
+
+    cam2 = dataclasses.replace(cam, yaw=cam.yaw + 0.01)
+    kw = dict(n_steps=256, n_refine=8, with_labels=False)
+
+    # First exact render: nothing to move from -> full budget.
+    first = engine.render(cam, 96, 64, **kw)
+    full = engine.render(cam, 96, 64, exact_quality="full", **kw)
+    np.testing.assert_array_equal(first.color, full.color)
+
+    # Pose change -> the interactive rung.
+    moved = engine.render(cam2, 96, 64, **kw)
+    rung = engine.render(cam2, 96, 64, exact_quality="interactive", **kw)
+    np.testing.assert_array_equal(moved.color, rung.color)
+
+    # Re-render at the rested pose -> back to the full budget.
+    settled = engine.render(cam2, 96, 64, **kw)
+    full2 = engine.render(cam2, 96, 64, exact_quality="full", **kw)
+    np.testing.assert_array_equal(settled.color, full2.color)
+
+    # The rung and the full budget genuinely differ somewhere on this
+    # scene (otherwise the assertions above prove nothing).
+    if np.array_equal(np.asarray(rung.color), np.asarray(full2.color)):
+        # Tiny scenes can agree; the knob resolution itself must differ.
+        assert engine._resolve_exact_quality(cam2, "interactive", ()) != ()
+
+    # Caller guided_kw overrides the policy's knobs.
+    res = engine._resolve_exact_quality(cam2, "interactive", (("n_window", 5),))
+    assert dict(res)["n_window"] == 5 and dict(res)["split_brackets"] is False
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        engine.render(cam, 96, 64, exact_quality="bogus", **kw)

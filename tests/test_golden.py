@@ -79,11 +79,25 @@ def _labeled_frame():
     return np.asarray(res.color)
 
 
+def _wire_yuv420_frame():
+    """Frozen one-transfer wire bytes (yuv420 pixels + label tail) for a
+    fixed scene, through the production engine wire path — pins the BT.601
+    constants, the plane layout, and the label byte encoding
+    (`render/transport.py`) so a transport refactor can't silently change
+    what the web client decodes."""
+    from tests.test_engine import build_engine
+
+    engine, cam, _tile = build_engine()
+    res = engine.render(cam, 160, 100, n_steps=256, n_refine=8, wire="yuv420")
+    return np.asarray(res.color)  # the flat u8 wire vector
+
+
 FRAMES = {
     "perspective_96x64": _perspective_frame,
     "panorama_128x48": _panorama_frame,
     "guided_exact_96x64": _guided_exact_frame,
     "labeled_160x100": _labeled_frame,
+    "wire_yuv420_160x100": _wire_yuv420_frame,
 }
 
 
@@ -117,6 +131,36 @@ def test_golden_guided_exact():
 
 def test_golden_labeled():
     _check("labeled_160x100", FRAMES["labeled_160x100"])
+
+
+def test_golden_wire_yuv420():
+    from topo_renderer_tpu.render import transport
+
+    name = "wire_yuv420_160x100"
+    golden_path = GOLDEN_DIR / f"{name}.npy"
+    buf = FRAMES[name]()
+    if not golden_path.exists():
+        GOLDEN_DIR.mkdir(exist_ok=True)
+        np.save(golden_path, buf)
+        raise AssertionError(f"golden {name} was missing; wrote it — rerun")
+    golden = np.load(golden_path)
+    assert golden.shape == buf.shape, (golden.shape, buf.shape)
+    npx = transport.pixel_bytes(100, 160, "yuv420")
+    # Pixel payload: a BT.601 constant or plane-layout regression moves
+    # bytes image-wide; cross-version float rounding moves a few by ±1.
+    pix_diff = np.abs(
+        buf[:npx].astype(np.int32) - golden[:npx].astype(np.int32)
+    )
+    assert (pix_diff > 1).mean() < 0.001, f"{(pix_diff > 1).mean():.2%} bytes off"
+    assert pix_diff.max() <= 2
+    # Label tail: integer encoding, must be byte-exact.
+    np.testing.assert_array_equal(buf[npx:], golden[npx:])
+    # And the decoded image must stay within the BASELINE tolerance of the
+    # decoded golden (catches a decode-side regression too).
+    img = transport.decode_pixels(buf, 100, 160, mode="yuv420")
+    img_g = transport.decode_pixels(golden, 100, 160, mode="yuv420")
+    ch_diff = np.abs(img.astype(np.int32) - img_g.astype(np.int32))
+    assert (ch_diff > 2).any(axis=-1).mean() < 0.01
 
 
 if __name__ == "__main__":

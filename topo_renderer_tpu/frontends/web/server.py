@@ -316,25 +316,20 @@ class WebFrontend:
             pixfmt = body.get("pixfmt") or ("rgb888" if exact else "yuv420")
             if pixfmt not in transport.MODES:
                 raise ValueError(f"unknown pixfmt {pixfmt!r}")
-            # Exact-mode march budget: "interactive" selects the cheap
-            # union+own rung (9 gather rounds vs the default 13, ~30%
-            # faster frames at round-3-class parity — the measured ladder
-            # in `ops/raycast.py::march_guided_panorama`); "full" (default)
-            # keeps the engine's parity-default knobs.
-            quality = body.get("exact_quality", "full")
-            if quality not in ("full", "interactive"):
+            # Exact-mode march budget: delegated to the ENGINE's
+            # exact_quality policy — "auto" (default) marches motion frames
+            # on the cheap 9-round union+own rung and settle frames on the
+            # full 13-round parity budget (`RenderEngine._resolve_exact_quality`);
+            # a client can pin "full" or "interactive" explicitly.
+            quality = body.get("exact_quality", "auto")
+            if quality not in ("auto", "full", "interactive"):
                 raise ValueError(f"unknown exact_quality {quality!r}")
-            gkw = (
-                (("n_window", 3), ("split_brackets", False))
-                if exact and quality == "interactive"
-                else ()
-            )
             res = self.app.engine.render(
                 cam, width, height, fast=not exact,
                 with_labels=bool(body.get("labels", True)),
                 host_copy=False,  # f32 planes stay on device
                 wire=pixfmt,      # the single u8 pull overlaps the next render
-                guided_kw=gkw,
+                exact_quality=quality,
             )
         except Exception:
             # No frame was delivered: roll the camera back so the consumed

@@ -269,6 +269,7 @@ class RenderEngine:
         # against concurrent pipelined frames.
         self._label_lock = threading.Lock()
         self._peaks_gen = 0  # bumped on peak-set changes; part of memo keys
+        self._last_exact_pose = None  # exact_quality="auto" motion detector
 
     # ---- tile management (reference: terrain_renderer.rs:173,361) --------
 
@@ -719,6 +720,49 @@ class RenderEngine:
 
     # ---- rendering -------------------------------------------------------
 
+    # The measured 9-round union+own march rung (vs the 13-round parity
+    # default): round-3-class silhouette tail at ~30% fewer gather rounds
+    # (the quality/cost ladder in `ops/raycast.py::march_guided_panorama`;
+    # TPU A/B: 55.5 vs 71.6 ms march at 800x450, scripts/probe_quad6.py).
+    _EXACT_RUNG_INTERACTIVE = (("n_window", 3), ("split_brackets", False))
+
+    @staticmethod
+    def _camera_pose_key(camera):
+        return (
+            np.asarray(camera.eye, np.float32).tobytes(),
+            float(camera.pitch), float(camera.yaw), float(camera.fov_y),
+            camera.view_mode,
+        )
+
+    def _resolve_exact_quality(self, camera, exact_quality, guided_kw):
+        """Engine-default exact march budget (round-4 verdict item 3).
+
+        "auto" (the default) spends the full 13-round parity budget only on
+        settle frames: a motion frame (camera pose changed since the last
+        exact render) marches the 9-round interactive rung instead — its
+        extra silhouette noise is invisible at >10 fps, and the next
+        re-render at the rested pose (any polling frame loop produces one)
+        upgrades to full quality. "full"/"interactive" pin either rung.
+        Caller-supplied ``guided_kw`` entries override the policy's.
+        """
+        if exact_quality not in ("auto", "full", "interactive"):
+            raise ValueError(f"unknown exact_quality {exact_quality!r}")
+        pose = self._camera_pose_key(camera)
+        # The first exact render (fresh engine, one-shot CLI/API calls) has
+        # nothing to move FROM — it gets the full budget.
+        moving = (
+            self._last_exact_pose is not None
+            and pose != self._last_exact_pose
+        )
+        self._last_exact_pose = pose
+        if exact_quality == "interactive" or (
+            exact_quality == "auto" and moving
+        ):
+            merged = dict(self._EXACT_RUNG_INTERACTIVE)
+            merged.update(dict(guided_kw))
+            return tuple(sorted(merged.items()))
+        return guided_kw
+
     def render(
         self,
         camera: Camera,
@@ -736,6 +780,7 @@ class RenderEngine:
         u8_host: bool = True,
         wire: str | None = None,
         guided_kw: tuple = (),
+        exact_quality: str = "auto",
     ) -> RenderResult:
         """Full frame: terrain + postprocess + label pass (reference render
         loop §3.3/§3.4 of SURVEY).
@@ -747,6 +792,13 @@ class RenderEngine:
         (`ops/raycast.py::march_guided`, ~8x fewer surface samples);
         differences vs the unguided march are confined to sub-prepass-cell
         silhouette features. Pass ``guided=False`` for strict parity work.
+
+        ``exact_quality`` (exact path only) picks the march budget:
+        "auto" (default) marches motion frames — camera pose changed since
+        the previous exact render — on the measured 9-round interactive
+        rung and settle frames (first render, or a re-render at a rested
+        pose) on the full 13-round parity budget; "full"/"interactive" pin
+        either. Caller ``guided_kw`` entries override the policy's knobs.
 
         ``u8_host=False`` leaves ``color`` as a DEVICE u8 array and skips
         compositing (which needs host pixels): the caller pulls + composites
@@ -764,6 +816,12 @@ class RenderEngine:
         """
         if wire is not None and wire not in transport.MODES:
             raise ValueError(f"unknown wire mode {wire!r}")
+        if not fast and guided:
+            guided_kw = self._resolve_exact_quality(
+                camera, exact_quality, guided_kw
+            )
+        elif exact_quality not in ("auto", "full", "interactive"):
+            raise ValueError(f"unknown exact_quality {exact_quality!r}")
         if self._geo_mesh is not None:
             return self._render_sharded(
                 camera, width, height, n_steps=n_steps, n_refine=n_refine,
