@@ -415,7 +415,12 @@ def extract_clipmap_windows(mosaic, eye, spec: PanoramaSpec, *, force_xla: bool 
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("spec", "quantize_rt", "apply_postprocess", "fog", "pixelize_n"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "quantize_rt", "apply_postprocess", "fog", "pixelize_n", "soa",
+    ),
+)
 def render_panorama(
     mosaic,
     eye,
@@ -431,8 +436,15 @@ def render_panorama(
     elev_offset=0.0,
     pixel_offset_x=0.0,
     windows=None,
+    soa: bool = False,
 ):
     """Render a cylindrical panorama around ``eye``.
+
+    ``soa=True`` returns the color as a ``"chans"`` (r, g, b) plane tuple
+    instead of a stacked ``"color"`` [H, W, 3]: a trailing-3 axis uses 3 of
+    the VPU's 128 lanes wherever it materializes, and consumers that go on
+    computing (the fast-path warp, the wire encode) immediately re-slice it
+    anyway.
 
     Returns the same output dict as `ops.raycast.render_perspective` (color,
     depth in the reference 0..1 convention, distance, hit mask).
@@ -661,12 +673,16 @@ def render_panorama(
     if apply_postprocess:
         channels = postprocess_soa(channels, depth, pixelize_n=pixelize_n)
 
-    return {
-        "color": jnp.stack(channels, axis=-1),
+    out = {
         "depth": depth,
         "distance": jnp.where(hit, dist, FAR),
         "hit": hit,
     }
+    if soa:
+        out["chans"] = channels
+    else:
+        out["color"] = jnp.stack(channels, axis=-1)
+    return out
 
 
 @partial(jax.jit, static_argnames=("spec",))

@@ -37,7 +37,9 @@ from topo_renderer_tpu.ops import shading as shd
 from topo_renderer_tpu.ops.geometry import R0
 from topo_renderer_tpu.ops.postprocess import postprocess_soa
 from topo_renderer_tpu.ops.surface import (
+    raster_from_coeffs,
     raster_from_ecef,
+    track_coeffs,
     raster_from_geo,
     sample_attributes_soa,
     sample_height,
@@ -526,15 +528,19 @@ def _cell_walk_core(mosaic, ends, f_lo, f_hi, active, *, n_cells: int):
 def _track_raster(mosaic, eye, dirs, c0, b, t):
     """Exact raster-space track point of the ray at parameter t:
     ``(gx, gy, alt)``. The transcendental evaluation the quad-fitted march
-    amortizes (3 calls per pixel instead of one per step)."""
-    dx, dy, dz = dirs
-    px = eye[0] + t * dx
-    py = eye[1] + t * dy
-    pz = eye[2] + t * dz
+    amortizes (3 calls per pixel instead of one per step).
+
+    Round 5: evaluated through the per-ray coefficient expansion
+    (`surface.track_coeffs`) instead of materialized ``eye + t*dir`` points
+    — the materialized components quantize at the ECEF magnitude (~0.5 m
+    PER SAMPLE), a track-fit jitter of ~2.6e-3/4.9e-3 texels (gx/gy) that
+    the expansion cuts to ~6e-5/8e-5 (scripts/probe_track_precision.py).
+    The three calls per leg share one coefficient set via XLA CSE."""
     q = c0 + 2.0 * t * b + t * t
     r = jnp.sqrt(jnp.maximum(R0 * R0 + q, 0.0))
     alt = q / (r + R0)
-    gx, gy = raster_from_ecef(mosaic, px, py, pz, r)
+    k = track_coeffs(mosaic, eye, dirs)
+    gx, gy = raster_from_coeffs(mosaic, k, t, r)
     return gx, gy, alt
 
 

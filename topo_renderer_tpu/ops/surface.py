@@ -113,6 +113,140 @@ def raster_from_ecef(mosaic, px, py, pz, r):
     return gx, gy
 
 
+# ---- error-free f32 scalar arithmetic (Dekker/Knuth) -----------------------
+#
+# The march's per-sample raster noise bottoms out at the f32 rounding of
+# ~6.4e6-scale intermediate products (`raster_from_ecef` docstring items
+# (a)/(b): ~0.5 m per materialized sample). The per-ray track expansion
+# below needs a handful of per-FRAME scalar head terms computed to better
+# than one f32 ulp of their own (small) magnitude; double-float pairs give
+# exactly that without requiring f64 on the device. Only O(1) scalars per
+# frame go through these — never per-pixel data.
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _two_prod(a, b):
+    """a*b as (head, tail) with head+tail == a*b exactly (Veltkamp split;
+    an FMA-contracted backend produces the same pair by the FMA identity)."""
+    p = a * b
+    sp = jnp.float32(4097.0)  # 2^12 + 1 splits the 24-bit mantissa 12+12
+    ca = a * sp
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = b * sp
+    bh = cb - (cb - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _df_add(x, y):
+    """(hi, lo) + (hi, lo) -> normalized pair (add22)."""
+    s, e = _two_sum(x[0], y[0])
+    e = e + x[1] + y[1]
+    hi, lo = _two_sum(s, e)
+    return hi, lo
+
+
+def _df_mul(x, y):
+    """(hi, lo) * (hi, lo) -> normalized pair (mul22)."""
+    p, e = _two_prod(x[0], y[0])
+    e = e + x[0] * y[1] + x[1] * y[0]
+    hi, lo = _two_sum(p, e)
+    return hi, lo
+
+
+def _df_neg(x):
+    return -x[0], -x[1]
+
+
+def track_coeffs(mosaic, eye, dirs):
+    """Per-ray expansion of `raster_from_ecef` along ``p(t) = eye + t*dir``.
+
+    Materializing ``p(t)`` quantizes each component at the ECEF magnitude
+    (~0.5 m per sample at f32), and the rotated differences downstream
+    cannot recover it — a per-sample staircase ~2e-2 texels wide that sets
+    the exact march's track-fit noise floor. Expanding the rotated
+    components in t instead makes every LARGE quantity a per-frame
+    coefficient (scalar heads computed as error-free pairs above) and every
+    per-SAMPLE operation a small, well-conditioned polynomial evaluation:
+
+      east:   u(t) = u0 + t*du,  u0 = ey c0 - ex s0   (pair),
+              v(t) = v0 + t*dv                         (relative-only)
+      north:  n(t) = (c1 pz - s1 rho) = N(t) / D(t) by the conjugate trick,
+              N(t) = c1^2 pz^2(t) - s1^2 rho^2(t) — a quadratic in t whose
+              constant term A (the catastrophic cancellation) is a pair;
+              D(t) = c1 pz + rho s1 needs only relative accuracy.
+
+    The rotation constants are the f32 values of cos/sin(model_point): their
+    own rounding is a sub-meter rigid shift of the raster grid shared by
+    every sample, pixel, and leg — it cannot bend the quad-track fit. What
+    this kills is the per-sample jitter: measured against f64 ground truth
+    the evaluated track error drops ~20x (scripts/probe_track_precision.py).
+
+    Returns a dict of per-ray coefficient planes (+ scalar pairs broadcast).
+    """
+    dx, dy, dz = dirs
+    ex, ey, ez = eye[0], eye[1], eye[2]
+    m0 = jnp.radians(mosaic.model_point[0])
+    m1 = jnp.radians(mosaic.model_point[1])
+    c0, s0 = jnp.cos(m0), jnp.sin(m0)
+    c1, s1 = jnp.cos(m1), jnp.sin(m1)
+
+    # Longitude plane: u0 as a pair (the small east offset emerges from a
+    # ~6.4e6-scale cancellation); du/dv/v0 need only relative accuracy.
+    u0 = _df_add(_two_prod(ey, c0), _df_neg(_two_prod(ex, s0)))
+    du = dy * c0 - dx * s0
+    v0 = ex * c0 + ey * s0
+    dv = dx * c0 + dy * s0
+
+    # Latitude conjugate-quadratic: N(t) = A + 2 B t + C t^2.
+    c1sq = _df_mul((c1, jnp.float32(0.0)), (c1, jnp.float32(0.0)))
+    s1sq = _df_mul((s1, jnp.float32(0.0)), (s1, jnp.float32(0.0)))
+    rho0 = _df_add(_two_prod(ex, ex), _two_prod(ey, ey))
+    A = _df_add(_df_mul(c1sq, _two_prod(ez, ez)), _df_neg(_df_mul(s1sq, rho0)))
+    rho_b = ex * dx + ey * dy  # d(rho^2)/dt / 2, per ray
+    rho_c = dx * dx + dy * dy
+    B = c1sq[0] * (ez * dz) - s1sq[0] * rho_b
+    C = c1sq[0] * (dz * dz) - s1sq[0] * rho_c
+
+    return {
+        "u0": u0, "du": du, "v0": v0, "dv": dv,
+        "A": A, "B": B, "C": C,
+        "rho0": rho0, "rho_b": rho_b, "rho_c": rho_c,
+        "ez": ez, "dz": dz, "c1": c1, "s1": s1,
+    }
+
+
+def raster_from_coeffs(mosaic, k, t, r):
+    """Evaluate the expanded track at parameter ``t`` -> ``(gx, gy)``.
+
+    ``r`` is the (stable, q-derived) geocentric radius at t. Same contract
+    as `raster_from_ecef`, ~20x less per-sample noise (see `track_coeffs`).
+    """
+    u = (k["u0"][0] + t * k["du"]) + k["u0"][1]
+    v = k["v0"] + t * k["dv"]
+    dlon = jnp.arctan2(u, v)
+
+    N = (k["A"][0] + t * (2.0 * k["B"] + t * k["C"])) + k["A"][1]
+    pz = k["ez"] + t * k["dz"]
+    rho_sq = k["rho0"][0] + t * (2.0 * k["rho_b"] + t * k["rho_c"])
+    rho = jnp.sqrt(jnp.maximum(rho_sq, 0.0))
+    D = pz * k["c1"] + rho * k["s1"]
+    # D -> 0 only toward the antipodal meridian plane (never inside a
+    # mosaic window); keep the quotient finite there.
+    dsin = N / jnp.maximum(r * jnp.abs(D), jnp.float32(1.0)) * jnp.sign(D)
+    dlat = jnp.arcsin(jnp.clip(dsin, -1.0, 1.0))
+
+    gx = jnp.degrees(dlon) / mosaic.pixel_scale[0]
+    gy = -jnp.degrees(dlat) / mosaic.pixel_scale[1]
+    return gx, gy
+
+
 def geo_from_raster(mosaic, gx, gy):
     lon = gx * mosaic.pixel_scale[0] + mosaic.model_point[0]
     lat = mosaic.model_point[1] - gy * mosaic.pixel_scale[1]
