@@ -351,6 +351,7 @@ def main(configs):
     spec_pre, _, _ = guided_prepass_spec(
         height=H1, fov_hint=fov, aspect=W1 / H1, n_steps=1024,
         supersample=gmd["supersample"],
+        elev_supersample=gmd.get("elev_supersample", 1.0),
     )
     ms1_pre = _sustained_ms(
         lambda: panorama_crossing_prepass(

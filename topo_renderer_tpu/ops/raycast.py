@@ -1181,6 +1181,7 @@ def guided_prepass_spec(
     aspect: float,
     n_steps: int = 1024,
     supersample: float = 1.0,
+    elev_supersample: float = 1.0,
 ):
     """The guided march's ACTUAL prepass geometry, exported.
 
@@ -1202,7 +1203,17 @@ def guided_prepass_spec(
     az_span = min(2.0 * _m.pi, 2.0 * half_win / max(_m.cos(half_win), 0.3))
     px_per_rad = supersample * height / float(fov_hint)
     wp = max(256, min(int(_m.ceil(az_span * px_per_rad / 128.0)) * 128, 8192))
-    hp = max(64, min(int(_m.ceil(2.0 * half_win * px_per_rad / 8.0)) * 8, 4096))
+    # Elevation rows share each azimuth column's profile gathers
+    # (`panorama_crossing_prepass` is O(N + H) per column), so elevation
+    # supersampling tightens the 3x3 pooled brackets' angular footprint at
+    # near-zero gather cost. MEASURED A QUALITY DEAD END as a round-count
+    # lever (scripts/probe_elev.py, CPU WGSL oracle at 800x450): es=2.0
+    # makes nw=6 WORSE (0.093% vs 0.082% — the shrunken 3x3 angular
+    # footprint loses neighborhood coverage faster than the tighter
+    # brackets gain), and nw=4+es2.0 (0.094%) never reaches the 13-round
+    # default. Keep es=1.0; the knob stays for experiments.
+    hp_per_rad = px_per_rad * elev_supersample
+    hp = max(64, min(int(_m.ceil(2.0 * half_win * hp_per_rad / 8.0)) * 8, 4096))
 
     # 896 prepass steps measure quality-equal to 1024 on the gated scenes
     # (the conservative bound owns the hit flag; d_hi moves by <=14% of a
@@ -1227,6 +1238,7 @@ def march_guided_panorama(
     aspect: float,
     n_window: int = 6,
     supersample: float = 1.0,
+    elev_supersample: float = 1.0,
     analytic_refine: bool = True,
     n_cells: int = 2,
     split_brackets: bool = True,
@@ -1237,6 +1249,7 @@ def march_guided_panorama(
     margin_abs: float = 25.0,
     prepass_k_back: int = 1 << 20,
     bound_stride: int = 4,
+    fusion_barrier: bool = False,
 ):
     """Exact march with t-ranges from an exact-panorama profile prepass.
 
@@ -1313,6 +1326,7 @@ def march_guided_panorama(
     spec_pre, half_win, az_span = guided_prepass_spec(
         height=H, fov_hint=fov_hint, aspect=aspect,
         n_steps=n_steps, supersample=supersample,
+        elev_supersample=elev_supersample,
     )
     wp, hp = spec_pre.width, spec_pre.height
     pre = panorama_crossing_prepass(
@@ -1382,6 +1396,11 @@ def march_guided_panorama(
             # CATCH neighbor-silhouette / hidden-terrain crossings.
             packed = jnp.stack([m, uni_hi, own0, own1], axis=-1).reshape(-1, 4)
             rows = packed[iy * wp + ix]
+            if fusion_barrier:
+                rows, dx, dy, dz = jax.lax.optimization_barrier(
+                    (rows, dx, dy, dz)
+                )
+                dirs = (dx, dy, dz)
             legs = (
                 (rows[..., 0], rows[..., 1], n_window),
                 (rows[..., 2], rows[..., 3], nw_guard),
@@ -1405,6 +1424,12 @@ def march_guided_panorama(
             [m, tA1, tB0, tB1, own0, own1], axis=-1
         ).reshape(-1, 6)
         rows = packed[iy * wp + ix]
+        # Cut the prepass/pooling -> march fusion boundary (same measured
+        # pathology class as the fast path's pano->warp cut; see
+        # `render_perspective_fast` and scripts/probe_barrier_exact.py).
+        if fusion_barrier:
+            rows, dx, dy, dz = jax.lax.optimization_barrier((rows, dx, dy, dz))
+            dirs = (dx, dy, dz)
         # ``nw_far`` lets the FAR cluster leg run leaner than the near one
         # (crossings concentrate in the near cluster; the far leg mostly
         # exists for silhouette-background coverage).
@@ -1594,16 +1619,27 @@ def render_perspective_fast(
     # a cache line); pack (10-bit RGB, distance) for the WHOLE 2x2 bilinear
     # footprint — x-neighbors AND y-neighbors — into one 8-wide row so each
     # pixel needs exactly ONE row gather instead of two (or 16 scalar ones).
-    rel_az = (az - az_c + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
-    gx = (rel_az + 0.5 * az_span) / az_span * wp - 0.5
-    gy = (jnp.float32(half_win) - (el - el_c)) / jnp.float32(2.0 * half_win) * hp - 0.5
-
     color = pano["color"]
     enc = jnp.round(jnp.clip(color, 0.0, 1.0) * 1023.0).astype(jnp.uint32)
     packed_rgb = jax.lax.bitcast_convert_type(
         enc[..., 0] | (enc[..., 1] << 10) | (enc[..., 2] << 20), jnp.float32
     )
     dist_p = pano["distance"]
+    cosf = dx * fwd[0] + dy * fwd[1] + dz * fwd[2]
+
+    # Cut the pano->warp fusion boundary. Left fused, XLA's layout/fusion
+    # choices across this boundary DOUBLE the whole frame (measured,
+    # scripts/probe_warp4.py on TPU v5e at 800x450: one fused program
+    # 18.7 ms; with this barrier 9.3 ms; two separate programs 9.0 ms —
+    # outputs bit-identical, max|d|=0). The barrier materializes the packed
+    # pano planes and the per-pixel angle grids once, keeping ONE dispatch.
+    packed_rgb, dist_p, az, el, az_c, el_c, cosf = jax.lax.optimization_barrier(
+        (packed_rgb, dist_p, az, el, az_c, el_c, cosf)
+    )
+
+    rel_az = (az - az_c + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+    gx = (rel_az + 0.5 * az_span) / az_span * wp - 0.5
+    gy = (jnp.float32(half_win) - (el - el_c)) / jnp.float32(2.0 * half_win) * hp - 0.5
     shift_x = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
     shift_y = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
     p00, d00 = packed_rgb, dist_p
@@ -1642,7 +1678,6 @@ def render_perspective_fast(
 
     # Reference-convention depth for the label pass: convert ray distance to
     # view-axis distance, then to ndc depth.
-    cosf = dx * fwd[0] + dy * fwd[1] + dz * fwd[2]
     from topo_renderer_tpu.models.camera import depth_from_dist
 
     depth = jnp.where(hit, depth_from_dist(jnp.clip(dist * cosf, NEAR, FAR)), 1.0)
@@ -1670,6 +1705,7 @@ def render_perspective_fast(
         "guided",
         "fov_hint",
         "guided_kw",
+        "fusion_barrier",
     ),
 )
 def render_perspective(
@@ -1686,6 +1722,7 @@ def render_perspective(
     guided: bool = False,
     fov_hint: float | None = None,
     guided_kw: tuple = (),
+    fusion_barrier: bool = False,
 ):
     """Render one perspective frame: the full terrain + postprocess pipeline.
 
@@ -1714,6 +1751,14 @@ def render_perspective(
     else:
         hit, t_hit = march(
             mosaic, eye, (dx, dy, dz), n_steps=n_steps, n_refine=n_refine
+        )
+
+    # Cut the march -> attrs/shade fusion boundary (same measured pathology
+    # class as the fast path's pano->warp cut; A/B in
+    # scripts/probe_barrier_exact.py).
+    if fusion_barrier:
+        hit, t_hit, dx, dy, dz = jax.lax.optimization_barrier(
+            (hit, t_hit, dx, dy, dz)
         )
 
     # Near/far plane clipping along the view axis (matches rasterizer clip,
