@@ -184,14 +184,28 @@ def main():
 
     import numpy as np
 
-    ref = np.asarray(one_program(mosaic, cam, barrier=False)[0])
+    # Color is quantize_srgb8'd LINEAR f32 in [0,1] (an int cast would
+    # truncate everything to 0 and compare nothing): check exact f32 bit
+    # equality AND the user-visible u8 delta.
+    from topo_renderer_tpu.ops.shading import linear_to_srgb
+
+    def u8(c):
+        return np.round(np.asarray(linear_to_srgb(jnp.asarray(c))) * 255.0)
+
+    refc, refd = (np.asarray(x) for x in one_program(mosaic, cam, barrier=False))
     for name, fn in (
         ("barrier", lambda: one_program(mosaic, cam, barrier=True)),
         ("two-prog", two_programs := (lambda: warp_program(*pano_program(mosaic, cam)))),
     ):
-        got = np.asarray(fn()[0])
-        d = np.abs(got.astype(np.int32) - ref.astype(np.int32))
-        print(f"{name} vs baseline: max|d|={d.max()} mean={d.mean():.4f}", flush=True)
+        gc, gd = (np.asarray(x) for x in fn())
+        bits_neq = (gc.view(np.uint32) != refc.view(np.uint32)).mean()
+        du8 = np.abs(u8(gc) - u8(refc)).max()
+        dd = np.abs(gd - refd).max()
+        print(
+            f"{name} vs baseline: f32-bits-neq={bits_neq:.2%} "
+            f"max|u8 d|={du8:.0f} max|depth d|={dd:.3e}",
+            flush=True,
+        )
 
     variants = [
         ("A one program (library)",

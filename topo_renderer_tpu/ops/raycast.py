@@ -1631,8 +1631,9 @@ def render_perspective_fast(
     # choices across this boundary DOUBLE the whole frame (measured,
     # scripts/probe_warp4.py on TPU v5e at 800x450: one fused program
     # 18.7 ms; with this barrier 9.3 ms; two separate programs 9.0 ms —
-    # outputs bit-identical, max|d|=0). The barrier materializes the packed
-    # pano planes and the per-pixel angle grids once, keeping ONE dispatch.
+    # outputs verified bit-identical: 0 f32 bit flips in color, depth
+    # exact, u8 image exact). The barrier materializes the packed pano
+    # planes and the per-pixel angle grids once, keeping ONE dispatch.
     packed_rgb, dist_p, az, el, az_c, el_c, cosf = jax.lax.optimization_barrier(
         (packed_rgb, dist_p, az, el, az_c, el_c, cosf)
     )
