@@ -284,6 +284,37 @@ def test_march_guided_panorama_matches_uniform():
             assert (rel < 0.02).mean() > 0.98
 
 
+def test_fusion_barrier_knobs_are_bit_neutral():
+    """`optimization_barrier` cuts are performance-only by contract: the
+    fast path ships one at the pano->warp boundary (18.7 -> 9.3 ms on TPU,
+    scripts/probe_warp4.py) and the exact path keeps default-off knobs at
+    its prepass->march and march->shade boundaries (measured time-neutral,
+    scripts/probe_barrier_exact.py). Pin BIT-identity here so a refactor
+    can't quietly turn a barrier into a numeric fork (FMA contraction
+    differences across a moved boundary would show up as f32 bit flips)."""
+    import math
+
+    mosaic, cam, _ = small_scene(n=65, span_deg=0.05, height_above=600.0)
+    cam = dataclasses.replace(cam, yaw=yaw_towards(cam, east_at(cam)), pitch=-0.08)
+    kw = dict(
+        width=160, height=96, n_steps=512, n_refine=12,
+        guided=True, fov_hint=math.radians(45.0),
+    )
+    base = render_perspective(mosaic, cam, **kw)
+    for shade_b, march_b in ((True, False), (False, True), (True, True)):
+        got = render_perspective(
+            mosaic, cam, fusion_barrier=shade_b,
+            guided_kw=(("fusion_barrier", True),) if march_b else (),
+            **kw,
+        )
+        for key in ("color", "depth", "distance"):
+            a = np.asarray(base[key], np.float32)
+            b = np.asarray(got[key], np.float32)
+            assert (a.view(np.uint32) == b.view(np.uint32)).all(), (
+                f"{key} bits diverged with barriers ({shade_b}, {march_b})"
+            )
+
+
 def test_prepass_brackets_contain_uniform_crossings():
     """The conservative prepass (max-mip bound d_lo + exact-profile d_hi)
     must return brackets that CONTAIN the uniform exact march's crossing
